@@ -1,0 +1,88 @@
+"""Benchmark: batched 1D CTC prefix beam search reads/s on one chip.
+
+North-star config (BASELINE.json): T=1000 x 5-label posteriors, beam_size=5,
+beam_cut_threshold=0.1, exact sequence parity vs the reference beam_search.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is reads/s divided by the 5000 reads/s/chip target.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from fast_ctc_decode_tpu.ops import beam as beam_ops
+
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    T = int(os.environ.get("BENCH_T", "1000"))
+    A1 = 5
+    beam_size = 5
+    threshold = np.float32(0.1)
+    max_nodes = beam_ops.default_max_nodes(T, beam_size, A1 - 1)
+
+    rng = np.random.RandomState(42)
+    probs = rng.rand(B, T, A1).astype(np.float32)
+    probs /= np.linalg.norm(probs, ord=2, axis=-1, keepdims=True)
+    lengths = np.full((B,), T, np.int32)
+
+    dev = jax.devices()[0]
+    probs_d = jax.device_put(probs, dev)
+    lengths_d = jax.device_put(lengths, dev)
+
+    def run():
+        out = beam_ops.beam_search_device_batch(
+            probs_d,
+            lengths_d,
+            threshold,
+            beam_size=beam_size,
+            collapse_repeats=True,
+            max_nodes=max_nodes,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    out = run()  # compile + warm
+    assert all(int(e) == 0 for e in np.asarray(out["err"])), "decode errors in bench"
+
+    # correctness spot check vs the sequential oracle on a few reads
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    try:
+        import oracle
+
+        for i in range(2):
+            n = int(out["count"][i])
+            labels_rev = np.asarray(out["labels_rev"][i])[:n]
+            seq = "".join("NACGT"[int(l) + 1] for l in labels_rev[::-1])
+            want, _ = oracle.beam_search(probs[i], "NACGT", beam_size, 0.1)
+            assert seq == want, f"read {i}: {seq!r} != oracle {want!r}"
+    except ImportError:
+        pass
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+
+    reads_per_sec = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "beam_search_reads_per_sec_per_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_sec / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

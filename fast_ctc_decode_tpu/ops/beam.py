@@ -1,0 +1,410 @@
+"""CTC prefix beam search, TPU-native (the flagship kernel).
+
+Reference semantics: /root/reference/src/search.rs:159-301 (`beam_search`) and
+src/search.rs:38-157 (`crf_beam_search`).  The reference keeps a beam of
+``SearchPoint{node, state, label_prob, gap_prob}`` over a pointer-based suffix
+tree, working in *linear* f32 probability space with a per-step division by
+the top beam score to avoid underflow.
+
+TPU-first redesign (not a port):
+
+ - The suffix tree is flattened to preallocated device arrays
+   ``parent/label/time [max_nodes]`` plus a dense child table
+   ``child [max_nodes+1, A]`` (row ``node+1``, so the virtual root
+   ``ROOT = -1`` maps to row 0 — the reference keeps a separate
+   ``root_children`` vec, src/tree.rs:43).  Node ids are allocated with a
+   monotone counter in the reference's exact ``add_node`` order (per tip,
+   labels ascending; tips in beam order), so ids, emit times and tie-breaks
+   match the reference bit-for-bit.
+
+ - One decode step = expand → merge → select, all fixed-shape:
+     * expand the beam to a ``[K, 1+2A]`` candidate grid laid out in the
+       reference's push order (blank; then per label: stay-then-fork for a
+       collapsed repeat, else a single arrival) with validity masks standing
+       in for data-dependent pushes;
+     * merge duplicate nodes by stable sort on node id + two conditional
+       accumulation passes — a node can receive at most THREE candidates per
+       step (blank from the tip sitting on it, stay from that same tip on a
+       repeat, and one arrival from the unique tip on its parent), so two
+       passes reproduce the reference's left-fold `+=` exactly
+       (src/search.rs:244-260);
+     * select by a stable 3-key lexicographic ``lax.sort`` (valid, total
+       probability desc, node id asc) — the reference's unstable sort is
+       insertion sort at beam sizes, which is stable over the node-sorted
+       input, hence ties resolve ascending-node-id (src/search.rs:261-273);
+     * renormalize by the top score via division (src/search.rs:278-282).
+
+ - ``lax.scan`` over time, ``vmap`` over reads; per-read ragged lengths are
+   handled by gating scatters and beam updates on ``t < length`` so padded
+   steps are true no-ops without copying the tree state.
+
+ - Errors become per-read status codes (see errors.py): NaN detection
+   reproduces the reference exactly — Rust only flags
+   ``IncomparableValues`` when a NaN is *compared* during the sort, which
+   happens iff the merged beam has >= 2 entries and any total is NaN.
+   After the first error the carry freezes (the reference returns early).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import errors
+
+ROOT = -1  # reference tree.rs:88
+_I32_MAX = np.iinfo(np.int32).max
+
+
+class BeamCarry(NamedTuple):
+    node: jnp.ndarray  # [K] i32, -2 = empty slot
+    state: jnp.ndarray  # [K] i32 (CRF transition state; 0 for plain CTC)
+    lab: jnp.ndarray  # [K] f32 label_prob
+    gap: jnp.ndarray  # [K] f32 gap_prob
+    valid: jnp.ndarray  # [K] bool
+    parent: jnp.ndarray  # [N] i32
+    label: jnp.ndarray  # [N] i32
+    time: jnp.ndarray  # [N] i32
+    child: jnp.ndarray  # [N+1, A] i32, -1 = no child; row = parent+1
+    n_nodes: jnp.ndarray  # scalar i32
+    err: jnp.ndarray  # scalar i32, first error code (0 = OK)
+
+
+def _shift_up(x, k, fill):
+    pad = jnp.full((k,), fill, x.dtype)
+    return jnp.concatenate([x[k:], pad])
+
+
+def _shift_down(x, k, fill):
+    pad = jnp.full((k,), fill, x.dtype)
+    return jnp.concatenate([pad, x[:-k]])
+
+
+def _merge_select(key, lab, gap, state, pushed, K):
+    """Merge candidates with equal node ids, then select the top-K beam.
+
+    Returns (node, lab, gap, state, valid, nan_flag, empty_flag, top).
+    ``top`` is the total probability of the best entry (pre-normalization).
+    """
+    key_sort = jnp.where(pushed, key, _I32_MAX)
+    key_s, lab_s, gap_s, state_s, pushed_s = jax.lax.sort(
+        (key_sort, lab, gap, state, pushed), dimension=-1, is_stable=True, num_keys=1
+    )
+
+    # run-continuation masks (runs are at most length 3; see module docstring)
+    nk1, np1 = _shift_up(key_s, 1, _I32_MAX), _shift_up(pushed_s, 1, False)
+    nk2, np2 = _shift_up(key_s, 2, _I32_MAX), _shift_up(pushed_s, 2, False)
+    same1 = (key_s == nk1) & pushed_s & np1
+    same2 = same1 & (key_s == nk2) & np2
+    lab1 = jnp.where(same1, lab_s + _shift_up(lab_s, 1, jnp.float32(0)), lab_s)
+    gap1 = jnp.where(same1, gap_s + _shift_up(gap_s, 1, jnp.float32(0)), gap_s)
+    lab2 = jnp.where(same2, lab1 + _shift_up(lab_s, 2, jnp.float32(0)), lab1)
+    gap2 = jnp.where(same2, gap1 + _shift_up(gap_s, 2, jnp.float32(0)), gap1)
+
+    pk, pp = _shift_down(key_s, 1, _I32_MAX - 1), _shift_down(pushed_s, 1, False)
+    head = pushed_s & ~((key_s == pk) & pp)
+
+    total = lab2 + gap2
+    cnt = jnp.sum(head.astype(jnp.int32))
+    nan_flag = (cnt >= 2) & jnp.any(head & jnp.isnan(total))
+    empty_flag = cnt == 0
+
+    # lexicographic select: valid first, then total desc, then node id asc.
+    # `total + 0.0` canonicalizes -0.0 to +0.0 so XLA's total-order float
+    # comparator agrees with the reference's partial_cmp on signed zeros.
+    k1 = (~head).astype(jnp.int32)
+    k2 = -(total + jnp.float32(0.0))
+    _, _, node_f, lab_f, gap_f, state_f, head_f = jax.lax.sort(
+        (k1, k2, key_s, lab2, gap2, state_s, head),
+        dimension=-1,
+        is_stable=True,
+        num_keys=3,
+    )
+
+    top = lab_f[0] + gap_f[0]
+    return (
+        node_f[:K],
+        lab_f[:K],
+        gap_f[:K],
+        state_f[:K],
+        head_f[:K],
+        nan_flag,
+        empty_flag,
+        top,
+    )
+
+
+def _allocate_nodes(carry: BeamCarry, needs_new, t, active, N, A, K):
+    """Allocate new suffix-tree nodes for ``needs_new [K, A]`` (which must
+    already require a child-table miss) in reference add_node order
+    (tip-major, labels ascending).  Returns (new_id [K, A] — only meaningful
+    where needs_new, -1 when the budget is blown — plus updated tree fields
+    and the overflow flag)."""
+    needs_new = needs_new & active
+    flat_new = needs_new.reshape(-1)
+    ranks = jnp.cumsum(flat_new.astype(jnp.int32)) - flat_new.astype(jnp.int32)
+    total_new = jnp.sum(flat_new.astype(jnp.int32))
+    new_id_flat = carry.n_nodes + ranks
+    overflow = active & (carry.n_nodes + total_new > N)
+
+    new_id = jnp.where(
+        needs_new & (new_id_flat.reshape(K, A) < N), new_id_flat.reshape(K, A), -1
+    )
+
+    upd_ok = flat_new & (new_id_flat < N)
+    scatter_idx = jnp.where(upd_ok, new_id_flat, N)  # index N is OOB -> dropped
+    tip_flat = jnp.broadcast_to(carry.node[:, None], (K, A)).reshape(-1)
+    lbl_flat = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.int32)[None, :], (K, A)
+    ).reshape(-1)
+
+    parent = carry.parent.at[scatter_idx].set(tip_flat, mode="drop")
+    label = carry.label.at[scatter_idx].set(lbl_flat, mode="drop")
+    time = carry.time.at[scatter_idx].set(t.astype(jnp.int32), mode="drop")
+    crow = jnp.where(upd_ok, tip_flat + 1, N + 1)  # row N+1 is OOB -> dropped
+    child = carry.child.at[crow, lbl_flat].set(new_id_flat, mode="drop")
+    n_nodes = jnp.where(
+        active, jnp.minimum(carry.n_nodes + total_new, N), carry.n_nodes
+    )
+    return new_id, parent, label, time, child, n_nodes, overflow
+
+
+def _finish_step(carry, merged, overflow, active, renorm=True):
+    """Apply merge results + error bookkeeping, gated on ``active``."""
+    node_n, lab_n, gap_n, state_n, valid_n, nan_flag, empty_flag, top = merged
+    if renorm:
+        lab_n = lab_n / top
+        gap_n = gap_n / top
+    node_n = jnp.where(valid_n, node_n, -2)
+    lab_n = jnp.where(valid_n, lab_n, jnp.float32(0))
+    gap_n = jnp.where(valid_n, gap_n, jnp.float32(0))
+
+    # error priority within a step: overflow (ours) > NaN > empty beam,
+    # matching the reference's check order (src/search.rs:261-277).
+    step_err = jnp.where(
+        overflow,
+        errors.NODE_OVERFLOW,
+        jnp.where(
+            nan_flag,
+            errors.INCOMPARABLE_VALUES,
+            jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+        ),
+    )
+    err = jnp.where(
+        carry.err > 0, carry.err, jnp.where(active, step_err, errors.OK)
+    ).astype(jnp.int32)
+
+    return (
+        jnp.where(active, node_n, carry.node),
+        jnp.where(active, state_n, carry.state),
+        jnp.where(active, lab_n, carry.lab),
+        jnp.where(active, gap_n, carry.gap),
+        jnp.where(active, valid_n, carry.valid),
+        err,
+    )
+
+
+def _beam_step(carry: BeamCarry, xs, *, A, K, N, collapse, length, threshold):
+    """One decode step of plain-CTC prefix beam search (src/search.rs:178-283)."""
+    (p, t) = xs
+    active = (t < length) & (carry.err == errors.OK)
+
+    p0 = p[0]
+    plab = p[1:]  # [A]
+    tip_label = jnp.where(
+        carry.node >= 0, jnp.take(carry.label, jnp.maximum(carry.node, 0)), -1
+    )
+    rows = jnp.clip(carry.node + 1, 0, N)
+    c = jnp.take(carry.child, rows, axis=0)  # [K, A] existing children
+
+    lbl_idx = jnp.arange(A, dtype=jnp.int32)
+    if collapse:
+        is_rep = tip_label[:, None] == lbl_idx[None, :]
+    else:
+        is_rep = jnp.zeros((K, A), bool)
+    # blank requires strictly-greater, labels tolerate equality (NaN passes
+    # the label check and fails the blank check, as in the reference
+    # src/search.rs:191, 201-203).
+    pushed_lab = carry.valid[:, None] & ~(plab[None, :] < threshold)
+    gap_pos = carry.gap > jnp.float32(0)
+    needs_new = pushed_lab & (c < 0) & (~is_rep | gap_pos[:, None])
+
+    new_id, parent, label, time, child, n_nodes, overflow = _allocate_nodes(
+        carry, needs_new, t, active, N, A, K
+    )
+    nid = jnp.where(c >= 0, c, new_id)  # -1 where no node exists/was made
+
+    lg = carry.lab + carry.gap
+
+    # slot 0: blank keeps the node, mass moves to gap_prob
+    key_b = carry.node
+    gap_b = lg * p0
+    push_b = carry.valid & (p0 > threshold)
+
+    # slot 1 per label: stay (collapsed repeat) or arrival (non-repeat)
+    key_1 = jnp.where(is_rep, carry.node[:, None], nid)
+    lab_1 = jnp.where(
+        is_rep, carry.lab[:, None] * plab[None, :], lg[:, None] * plab[None, :]
+    )
+    push_1 = pushed_lab & (is_rep | (nid >= 0))
+
+    # slot 2 per label: fork of a collapsed repeat (existing child, or fresh
+    # node when gap_prob > 0 — src/search.rs:212-227)
+    key_2 = nid
+    lab_2 = carry.gap[:, None] * plab[None, :]
+    push_2 = pushed_lab & is_rep & (nid >= 0)
+
+    # interleave in reference push order: blank, then (stay, fork) per label
+    key_il = jnp.stack([key_1, key_2], axis=-1).reshape(K, 2 * A)
+    lab_il = jnp.stack([lab_1, lab_2], axis=-1).reshape(K, 2 * A)
+    push_il = jnp.stack([push_1, push_2], axis=-1).reshape(K, 2 * A)
+
+    key = jnp.concatenate([key_b[:, None], key_il], axis=1).reshape(-1)
+    labv = jnp.concatenate(
+        [jnp.zeros((K, 1), jnp.float32), lab_il], axis=1
+    ).reshape(-1)
+    gapv = jnp.concatenate(
+        [gap_b[:, None], jnp.zeros((K, 2 * A), jnp.float32)], axis=1
+    ).reshape(-1)
+    pushed = jnp.concatenate([push_b[:, None], push_il], axis=1).reshape(-1)
+    statev = jnp.zeros_like(key)
+
+    merged = _merge_select(key, labv, gapv, statev, pushed, K)
+    node_n, state_n, lab_n, gap_n, valid_n, err = _finish_step(
+        carry, merged, overflow, active
+    )
+
+    new_carry = BeamCarry(
+        node_n, state_n, lab_n, gap_n, valid_n, parent, label, time, child, n_nodes, err
+    )
+    return new_carry, None
+
+
+def _traceback(node0, parent, label, time, T):
+    """Walk parent pointers root-ward; returns reversed labels/times + count.
+
+    Chain depth never exceeds T: a child's allocation step is strictly after
+    its parent's, so a fixed T-trip fori_loop is enough.
+    """
+
+    def body(i, st):
+        cur, labs, times = st
+        ok = cur >= 0
+        safe = jnp.maximum(cur, 0)
+        labs = labs.at[i].set(jnp.where(ok, jnp.take(label, safe), -1))
+        times = times.at[i].set(jnp.where(ok, jnp.take(time, safe), -1))
+        cur = jnp.where(ok, jnp.take(parent, safe), jnp.int32(-2))
+        return (cur, labs, times)
+
+    labs0 = jnp.full((T,), -1, jnp.int32)
+    times0 = jnp.full((T,), -1, jnp.int32)
+    _, labs, times = jax.lax.fori_loop(0, T, body, (node0.astype(jnp.int32), labs0, times0))
+    count = jnp.sum((labs >= 0).astype(jnp.int32))
+    return labs, times, count
+
+
+def _init_carry(K, N, A, init_lab, init_gap, init_state):
+    slot = jnp.arange(K, dtype=jnp.int32)
+    return BeamCarry(
+        node=jnp.where(slot == 0, jnp.int32(ROOT), jnp.int32(-2)),
+        state=jnp.where(slot == 0, jnp.asarray(init_state, jnp.int32), 0),
+        lab=jnp.where(slot == 0, jnp.asarray(init_lab, jnp.float32), 0.0).astype(
+            jnp.float32
+        ),
+        gap=jnp.where(slot == 0, jnp.asarray(init_gap, jnp.float32), 0.0).astype(
+            jnp.float32
+        ),
+        valid=slot == 0,
+        parent=jnp.full((N,), -2, jnp.int32),
+        label=jnp.full((N,), -1, jnp.int32),
+        time=jnp.full((N,), -1, jnp.int32),
+        child=jnp.full((N + 1, A), -1, jnp.int32),
+        n_nodes=jnp.int32(0),
+        err=jnp.int32(0),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_size", "collapse_repeats", "max_nodes")
+)
+def beam_search_device(
+    probs: jnp.ndarray,
+    length: jnp.ndarray,
+    beam_cut_threshold: jnp.ndarray,
+    *,
+    beam_size: int,
+    collapse_repeats: bool = True,
+    max_nodes: int,
+):
+    """Decode one (possibly padded) read with CTC prefix beam search.
+
+    Args:
+      probs: [T, A+1] f32 posteriors, column 0 = blank.
+      length: scalar i32 valid frames.
+      beam_cut_threshold: scalar f32.
+
+    Returns dict: labels_rev [T] i32 (0-based label ids, deepest-first),
+      times_rev [T] i32, count, err.
+    """
+    T, A1 = probs.shape
+    A = A1 - 1
+    K = beam_size
+    N = max_nodes
+
+    carry = _init_carry(K, N, A, 0.0, 1.0, 0)
+    xs = (probs, jnp.arange(T, dtype=jnp.int32))
+    step = functools.partial(
+        _beam_step,
+        A=A,
+        K=K,
+        N=N,
+        collapse=collapse_repeats,
+        length=jnp.asarray(length, jnp.int32),
+        threshold=jnp.asarray(beam_cut_threshold, jnp.float32),
+    )
+    carry, _ = jax.lax.scan(step, carry, xs)
+
+    labels_rev, times_rev, count = _traceback(
+        carry.node[0], carry.parent, carry.label, carry.time, T
+    )
+    return {
+        "labels_rev": labels_rev,
+        "times_rev": times_rev,
+        "count": count,
+        "err": carry.err,
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_size", "collapse_repeats", "max_nodes")
+)
+def beam_search_device_batch(
+    probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    beam_cut_threshold: jnp.ndarray,
+    *,
+    beam_size: int,
+    collapse_repeats: bool = True,
+    max_nodes: int,
+):
+    """vmap of beam_search_device over a [B, T, A+1] batch with [B] lengths."""
+    fn = lambda p, l: beam_search_device(
+        p,
+        l,
+        beam_cut_threshold,
+        beam_size=beam_size,
+        collapse_repeats=collapse_repeats,
+        max_nodes=max_nodes,
+    )
+    return jax.vmap(fn)(probs, lengths)
+
+
+def default_max_nodes(T: int, beam_size: int, n_labels: int, cap: int = 4_000_000) -> int:
+    """Worst-case node budget: every step can allocate at most beam*A nodes
+    (one per (tip, label) miss — src/search.rs:229-239)."""
+    return int(min(T * beam_size * n_labels + 8, cap))

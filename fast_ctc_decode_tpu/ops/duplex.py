@@ -1,0 +1,769 @@
+"""2-D duplex pair-consensus beam search (plain + CRF), TPU-native.
+
+Reference semantics: /root/reference/src/duplex.rs (beam_search 443-650,
+crf_beam_search 652-834).  The algorithm (Silvestre-Ryan & Holmes pair
+consensus) runs a prefix beam search over network_1 time; every suffix-tree
+node additionally carries a *banded forward-DP vector over network_2 time*
+("SecondaryProbs", duplex.rs:151-210) for its prefix, windowed by a caller
+envelope ``[T1, 2]``.  A hypothesis scores as
+``prob_1.probability() * max(band totals)`` — all in log-space f32
+(duplex.rs:144-149).
+
+TPU-first redesign:
+
+ - Bands are fixed-width rows ``band_label/band_gap [max_nodes, W]`` with a
+   per-node ``offset/len`` window, where the static width
+   ``W = max(hi) - min(lo) + 1`` is derived from the envelope on the host.
+   The reference's ``discard_until`` becomes a dynamic roll + window shrink.
+
+ - Building a new child's band (duplex.rs:212-249) is vectorized over ALL
+   candidate children of the step at once: one ``lax.scan`` over the t2
+   window with ``[K, A]`` lanes; only the children actually allocated are
+   scattered into the band arrays.
+
+ - Band *extension* (duplex.rs:338-387, triggered only when the envelope's
+   upper bound grows, parents before children) runs as a statically-unrolled
+   loop over the node-sorted beam slots.  The host inspects the envelope:
+   with a non-growing upper bound (including the default full-range
+   envelope) the entire extension phase is compiled out.
+
+ - log-space arithmetic uses exact exp/log1p on the VPU — the reference's
+   ``fastexp`` polynomial (src/fastexp.rs) is a scalar-CPU trick with no TPU
+   reason to exist; this matches the reference built without the ``fastexp``
+   feature.  The logsumexp orders operands by magnitude exactly like
+   LogSpace::Add (duplex.rs:42-63), including NaN propagation, and
+   LogSpace::max never admits NaN (duplex.rs:33-39).
+
+ - The reference quirk that the expansion loop iterates a *node-sorted* beam
+   on steps where the upper bound grew (the in-place sort at duplex.rs:493)
+   is reproduced: the beam is re-ordered by node id on exactly those steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import errors
+from .beam import _shift_down, _shift_up, _traceback
+
+NEG = jnp.float32(-jnp.inf)
+_I32_MAX = np.iinfo(np.int32).max
+
+
+def ls_add(a, b):
+    """LogSpace + (logsumexp) with reference operand ordering (duplex.rs:42-63)."""
+    cond = a <= b
+    big = jnp.where(cond, b, a)
+    small = jnp.where(cond, a, b)
+    return jnp.where(
+        small == NEG, big, big + jnp.log1p(jnp.exp(small - big))
+    )
+
+
+def ls_max(m, t):
+    """LogSpace::max — returns other only when self < other, so NaN in `t`
+    never replaces m and an accumulated m is kept (duplex.rs:33-39)."""
+    return jnp.where(m < t, t, m)
+
+
+class DuplexCarry(NamedTuple):
+    node: jnp.ndarray  # [K] i32
+    state: jnp.ndarray  # [K] i32 (CRF)
+    p1l: jnp.ndarray  # [K] f32 log label prob
+    p1g: jnp.ndarray  # [K] f32 log gap prob
+    p2m: jnp.ndarray  # [K] f32 log max band prob
+    valid: jnp.ndarray  # [K] bool
+    parent: jnp.ndarray  # [N] i32
+    label: jnp.ndarray  # [N] i32
+    child: jnp.ndarray  # [N+1, A] i32
+    blab: jnp.ndarray  # [N, W] f32 band label probs
+    bgap: jnp.ndarray  # [N, W] f32 band gap probs
+    boff: jnp.ndarray  # [N] i32 band offset (t2 of slot 0)
+    blen: jnp.ndarray  # [N] i32 band valid length
+    bmax: jnp.ndarray  # [N] f32 band max total
+    n_nodes: jnp.ndarray  # scalar i32
+    last_upper: jnp.ndarray  # scalar i32
+    err: jnp.ndarray  # scalar i32
+
+
+def _band_get(carry: DuplexCarry, root_gap, nodes, t2_idx, N, W, Wr):
+    """Fetch (label, gap) band values for `nodes [K]` at `t2_idx [K, J]`.
+
+    Virtual root (node < 0) reads the precomputed root band (offset -1,
+    gap-only — duplex.rs:389-409); out-of-window reads are ProbPair::zero.
+    """
+    is_root = nodes < 0
+    safe = jnp.clip(nodes, 0, N - 1)
+    off = jnp.where(is_root, -1, jnp.take(carry.boff, safe))
+    ln = jnp.where(is_root, Wr, jnp.take(carry.blen, safe))
+    idx = t2_idx - off[:, None]
+    ok = (idx >= 0) & (idx < ln[:, None])
+    ci = jnp.clip(idx, 0, W - 1)
+    g_band = carry.bgap[safe[:, None], ci]
+    l_band = carry.blab[safe[:, None], ci]
+    g_root = jnp.take(root_gap, jnp.clip(idx, 0, Wr - 1))
+    lab = jnp.where(ok & ~is_root[:, None], l_band, NEG)
+    gap = jnp.where(ok, jnp.where(is_root[:, None], g_root, g_band), NEG)
+    return lab, gap
+
+
+def _build_bands(carry, l2_rows_fn, root_gap, lo, hi, is_rep, tstate, N, A, K, W, Wr):
+    """Vectorized build_secondary_probs (duplex.rs:212-249) for all [K, A]
+    candidate children at once.  `l2_rows_fn(t2, tstate)` returns the [K, A+1]
+    log-prob rows of network_2 at time t2 (handles the CRF state gather).
+    Returns (blab [K,A,W], bgap [K,A,W], bmax [K,A])."""
+    t2_idx = lo + jnp.arange(W, dtype=jnp.int32)[None, :] - 1  # [1, W] -> broadcast
+    pv_lab, pv_gap = _band_get(
+        carry, root_gap, carry.node, jnp.broadcast_to(t2_idx, (K, W)), N, W, Wr
+    )
+    pv_tot = ls_add(pv_lab, pv_gap)  # [K, W]
+
+    def step(last, j):
+        last_lab, last_gap = last  # [K, A]
+        t2 = lo + j
+        rows = l2_rows_fn(t2, tstate)  # [K, A+1]
+        p0 = rows[:, 0]  # [K]
+        pl = rows[:, 1:]  # [K, A]
+        tot_last = ls_add(last_lab, last_gap)
+        gap_new = tot_last + p0[:, None]
+        base = jnp.where(is_rep, pv_gap[:, j][:, None], pv_tot[:, j][:, None])
+        lab_new = pl + ls_add(last_lab, base)
+        return (lab_new, gap_new), (lab_new, gap_new)
+
+    init = (jnp.full((K, A), NEG), jnp.full((K, A), NEG))
+    _, (labs, gaps) = jax.lax.scan(step, init, jnp.arange(W, dtype=jnp.int32))
+    blab = jnp.moveaxis(labs, 0, -1)  # [K, A, W]
+    bgap = jnp.moveaxis(gaps, 0, -1)
+    tot = ls_add(blab, bgap)
+    jmask = (jnp.arange(W, dtype=jnp.int32)[None, None, :] < (hi - lo))
+    tot = jnp.where(jmask & ~jnp.isnan(tot), tot, NEG)
+    bmax = jnp.max(tot, axis=-1)
+    return blab, bgap, bmax
+
+
+def _extend_bands(carry, l2_row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, Wext):
+    """Band extension for live beam nodes, parents before children
+    (duplex.rs:490-522 + extend_secondary_probs 338-387).  The beam in
+    `carry` must already be node-sorted.  Statically unrolled over the K
+    slots; each slot runs a masked fori over at most Wext new t2 entries.
+    `l2_row_fn(t2, state)` returns the [A+1] log-prob row."""
+    blab, bgap, boff, blen, bmax = (
+        carry.blab,
+        carry.bgap,
+        carry.boff,
+        carry.blen,
+        carry.bmax,
+    )
+    jidx = jnp.arange(W, dtype=jnp.int32)
+
+    for s in range(K):
+        n = carry.node[s]
+        act = ext_flag & (n >= 0) & carry.valid[s]
+        n0 = jnp.clip(n, 0, N - 1)
+        off = jnp.take(boff, n0)
+        ln = jnp.take(blen, n0)
+        row_lab = blab[n0]
+        row_gap = bgap[n0]
+
+        # discard_until(lo - 1) + update_max(lo, hi)  (duplex.rs:350-359)
+        do_discard = act & (lo > off)
+        shift = (lo - 1) - off
+        sh_lab = jnp.roll(row_lab, -shift)
+        sh_gap = jnp.roll(row_gap, -shift)
+        emptied = (ln - shift) <= 0
+        newL = jnp.where(emptied, 0, ln - shift)
+        newoff = jnp.where(emptied, lo, lo - 1)
+        off2 = jnp.where(do_discard, newoff, off)
+        L2 = jnp.where(do_discard, newL, ln)
+        row_lab = jnp.where(do_discard, sh_lab, row_lab)
+        row_gap = jnp.where(do_discard, sh_gap, row_gap)
+        t2s = off2 + jidx
+        win = (jidx < L2) & (t2s >= lo) & (t2s < hi)
+        tots = ls_add(row_lab, row_gap)
+        tots = jnp.where(win & ~jnp.isnan(tots), tots, NEG)
+        m2 = jnp.max(tots)
+        mx = jnp.where(do_discard, m2, jnp.take(bmax, n0))
+
+        # extend from current end to hi
+        par = jnp.take(carry.parent, n0)
+        lbl = jnp.take(carry.label, n0)
+        par_lbl = jnp.where(
+            par >= 0, jnp.take(carry.label, jnp.clip(par, 0, N - 1)), -1
+        )
+        prep = par_lbl == lbl
+        st = carry.state[s]
+        cur_end = off2 + L2
+        n_new = hi - cur_end
+        last_lab = jnp.where(L2 > 0, row_lab[jnp.clip(L2 - 1, 0, W - 1)], NEG)
+        last_gap = jnp.where(L2 > 0, row_gap[jnp.clip(L2 - 1, 0, W - 1)], NEG)
+
+        def jbody(j, stt):
+            row_lab, row_gap, last_lab, last_gap, mx = stt
+            a = act & (j < n_new)
+            t2 = cur_end + j
+            row = l2_row_fn(t2, st)  # [A+1]
+            gap_n = ls_add(last_lab, last_gap) + row[0]
+            # parent band read from the *updated* arrays (parents were
+            # extended in an earlier slot iteration — duplex.rs:493)
+            pvl, pvg = _parent_get_scalar(
+                blab, bgap, boff, blen, root_gap, par, t2 - 1, N, W, Wr
+            )
+            base = jnp.where(prep, pvg, ls_add(pvl, pvg))
+            lab_n = jnp.take(row, lbl + 1) + ls_add(last_lab, base)
+            widx = jnp.where(a, t2 - off2, W)
+            row_lab = row_lab.at[widx].set(lab_n, mode="drop")
+            row_gap = row_gap.at[widx].set(gap_n, mode="drop")
+            tot_n = ls_add(lab_n, gap_n)
+            mx2 = jnp.where(a, ls_max(mx, tot_n), mx)
+            last_lab = jnp.where(a, lab_n, last_lab)
+            last_gap = jnp.where(a, gap_n, last_gap)
+            return (row_lab, row_gap, last_lab, last_gap, mx2)
+
+        row_lab, row_gap, last_lab, last_gap, mx = jax.lax.fori_loop(
+            0, Wext, jbody, (row_lab, row_gap, last_lab, last_gap, mx)
+        )
+
+        wrow = jnp.where(act, n0, N)  # row N is OOB -> dropped
+        blab = blab.at[wrow].set(row_lab, mode="drop")
+        bgap = bgap.at[wrow].set(row_gap, mode="drop")
+        boff = boff.at[wrow].set(off2, mode="drop")
+        blen = blen.at[wrow].set(jnp.maximum(L2, hi - off2), mode="drop")
+        bmax = bmax.at[wrow].set(mx, mode="drop")
+
+    return carry._replace(blab=blab, bgap=bgap, boff=boff, blen=blen, bmax=bmax)
+
+
+def _parent_get_scalar(blab, bgap, boff, blen, root_gap, node, t2, N, W, Wr):
+    """Scalar band fetch against explicit (possibly updated) band arrays."""
+    is_root = node < 0
+    safe = jnp.clip(node, 0, N - 1)
+    off = jnp.where(is_root, -1, jnp.take(boff, safe))
+    ln = jnp.where(is_root, Wr, jnp.take(blen, safe))
+    idx = t2 - off
+    ok = (idx >= 0) & (idx < ln)
+    lab = jnp.where(
+        ok & ~is_root, blab[safe, jnp.clip(idx, 0, W - 1)], NEG
+    )
+    gap = jnp.where(
+        ok,
+        jnp.where(
+            is_root,
+            jnp.take(root_gap, jnp.clip(idx, 0, Wr - 1)),
+            bgap[safe, jnp.clip(idx, 0, W - 1)],
+        ),
+        NEG,
+    )
+    return lab, gap
+
+
+def _duplex_merge_select(key, p1l, p1g, p2m, state, pushed, bmax, K, N):
+    """Duplex merge: dedup by node with logsumexp ``+=`` on the prob_1 pair,
+    refresh prob_2_max from tree data, NaN check, sort by total score
+    (desc, ties ascending node id), truncate (duplex.rs:595-635)."""
+    key_sort = jnp.where(pushed, key, _I32_MAX)
+    key_s, p1l_s, p1g_s, p2m_s, state_s, pushed_s = jax.lax.sort(
+        (key_sort, p1l, p1g, p2m, state, pushed),
+        dimension=-1,
+        is_stable=True,
+        num_keys=1,
+    )
+
+    nk1, np1 = _shift_up(key_s, 1, _I32_MAX), _shift_up(pushed_s, 1, False)
+    nk2, np2 = _shift_up(key_s, 2, _I32_MAX), _shift_up(pushed_s, 2, False)
+    same1 = (key_s == nk1) & pushed_s & np1
+    same2 = same1 & (key_s == nk2) & np2
+    l1 = jnp.where(same1, ls_add(p1l_s, _shift_up(p1l_s, 1, NEG)), p1l_s)
+    g1 = jnp.where(same1, ls_add(p1g_s, _shift_up(p1g_s, 1, NEG)), p1g_s)
+    l2m = jnp.where(same2, ls_add(l1, _shift_up(p1l_s, 2, NEG)), l1)
+    g2m = jnp.where(same2, ls_add(g1, _shift_up(p1g_s, 2, NEG)), g1)
+
+    pk, pp = _shift_down(key_s, 1, _I32_MAX - 1), _shift_down(pushed_s, 1, False)
+    head = pushed_s & ~((key_s == pk) & pp)
+
+    # refresh prob_2_max from tree data for real nodes (duplex.rs:613-618)
+    is_node = key_s >= 0
+    p2m_r = jnp.where(
+        is_node, jnp.take(bmax, jnp.clip(key_s, 0, N - 1)), p2m_s
+    )
+
+    score = ls_add(l2m, g2m) + p2m_r
+    cnt = jnp.sum(head.astype(jnp.int32))
+    nan_flag = (cnt >= 2) & jnp.any(head & jnp.isnan(score))
+    empty_flag = cnt == 0
+
+    k1 = (~head).astype(jnp.int32)
+    k2 = -(score + jnp.float32(0.0))
+    _, _, node_f, l_f, g_f, p2_f, st_f, head_f = jax.lax.sort(
+        (k1, k2, key_s, l2m, g2m, p2m_r, state_s, head),
+        dimension=-1,
+        is_stable=True,
+        num_keys=3,
+    )
+    return (
+        node_f[:K],
+        l_f[:K],
+        g_f[:K],
+        p2_f[:K],
+        st_f[:K],
+        head_f[:K],
+        nan_flag,
+        empty_flag,
+    )
+
+
+def _alloc_nodes_duplex(carry, needs_new, N, A, K, active):
+    """Node allocation in add_node order; returns new_id [K, A] and updated
+    parent/label/child/n_nodes + overflow flag."""
+    needs_new = needs_new & active
+    flat_new = needs_new.reshape(-1)
+    ranks = jnp.cumsum(flat_new.astype(jnp.int32)) - flat_new.astype(jnp.int32)
+    total_new = jnp.sum(flat_new.astype(jnp.int32))
+    new_id_flat = carry.n_nodes + ranks
+    overflow = active & (carry.n_nodes + total_new > N)
+    new_id = jnp.where(
+        needs_new & (new_id_flat.reshape(K, A) < N), new_id_flat.reshape(K, A), -1
+    )
+    upd_ok = flat_new & (new_id_flat < N)
+    scatter_idx = jnp.where(upd_ok, new_id_flat, N)
+    tip_flat = jnp.broadcast_to(carry.node[:, None], (K, A)).reshape(-1)
+    lbl_flat = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.int32)[None, :], (K, A)
+    ).reshape(-1)
+    parent = carry.parent.at[scatter_idx].set(tip_flat, mode="drop")
+    label = carry.label.at[scatter_idx].set(lbl_flat, mode="drop")
+    crow = jnp.where(upd_ok, tip_flat + 1, N + 1)
+    child = carry.child.at[crow, lbl_flat].set(new_id_flat, mode="drop")
+    n_nodes = jnp.where(
+        active, jnp.minimum(carry.n_nodes + total_new, N), carry.n_nodes
+    )
+    return new_id, parent, label, child, n_nodes, overflow
+
+
+def _sort_beam_by_node(carry: DuplexCarry):
+    """Node-ascending beam order (invalid slots last), as the reference's
+    in-place sort before extension (duplex.rs:493)."""
+    key = jnp.where(carry.valid, carry.node, _I32_MAX)
+    _, node, state, p1l, p1g, p2m, valid = jax.lax.sort(
+        (key, carry.node, carry.state, carry.p1l, carry.p1g, carry.p2m, carry.valid),
+        dimension=-1,
+        is_stable=True,
+        num_keys=1,
+    )
+    return carry._replace(
+        node=node, state=state, p1l=p1l, p1g=p1g, p2m=p2m, valid=valid
+    )
+
+
+def _make_duplex_step(
+    *, A, S, K, N, W, Wr, Wext, collapse, crf, needs_ext, threshold_log, T2
+):
+    """Build the per-t1 scan step for plain (crf=False) or CRF (crf=True)
+    duplex search."""
+
+    def l2_row_fn_factory(l2):
+        if crf:
+            T2_, S_, A1 = l2.shape
+            flat = l2.reshape(T2_ * S_, A1)
+
+            def row_fn(t2, state):
+                i = jnp.clip(t2, 0, T2_ - 1) * S_ + jnp.clip(state, 0, S_ - 1)
+                return jnp.take(flat, i, axis=0)
+
+            def rows_fn(t2, tstate):  # [K] states -> [K, A+1]
+                i = jnp.clip(t2, 0, T2_ - 1) * S_ + jnp.clip(tstate, 0, S_ - 1)
+                return jnp.take(flat, i, axis=0)
+
+        else:
+
+            def row_fn(t2, state):
+                return jnp.take(l2, jnp.clip(t2, 0, l2.shape[0] - 1), axis=0)
+
+            def rows_fn(t2, tstate):
+                row = jnp.take(l2, jnp.clip(t2, 0, l2.shape[0] - 1), axis=0)
+                return jnp.broadcast_to(row[None, :], (K, row.shape[0]))
+
+        return row_fn, rows_fn
+
+    def step(carry_l2, xs):
+        carry, l2, root_gap = carry_l2
+        p1row, lo, hi, t = xs
+        row_fn, rows_fn = l2_row_fn_factory(l2)
+
+        env_bad = (lo >= hi) | (lo > carry.last_upper)
+        alive = carry.err == errors.OK
+        active = alive & ~env_bad
+        err0 = jnp.where(
+            alive & env_bad, errors.INVALID_ENVELOPE, carry.err
+        ).astype(jnp.int32)
+        carry = carry._replace(err=err0)
+
+        ext_flag = active & (hi > carry.last_upper)
+        if needs_ext:
+            # the reference node-sorts the beam in place before extension,
+            # so expansion order changes on exactly those steps (duplex.rs:493)
+            sorted_c = _sort_beam_by_node(carry)
+            beam_c = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(ext_flag, x, y), sorted_c, carry
+            )
+            carry = _extend_bands(
+                beam_c, row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, Wext
+            )
+        carry = carry._replace(
+            last_upper=jnp.where(active, hi, carry.last_upper)
+        )
+
+        # ---------------- expansion ----------------
+        if crf:
+            # CRF network_1 row gather by per-tip state: p1row is [S, A+1]
+            prow = jnp.take(p1row, jnp.clip(carry.state, 0, S - 1), axis=0)
+        else:
+            prow = jnp.broadcast_to(p1row[None, :], (K, A + 1))
+        p0 = prow[:, 0]
+        plab = prow[:, 1:]
+
+        tip_label = jnp.where(
+            carry.node >= 0, jnp.take(carry.label, jnp.maximum(carry.node, 0)), -1
+        )
+        rows_idx = jnp.clip(carry.node + 1, 0, N)
+        c = jnp.take(carry.child, rows_idx, axis=0)  # [K, A]
+
+        lbl_idx = jnp.arange(A, dtype=jnp.int32)
+        if collapse and not crf:
+            is_rep = tip_label[:, None] == lbl_idx[None, :]
+        else:
+            is_rep = jnp.zeros((K, A), bool)
+
+        pushed_lab = carry.valid[:, None] & ~(plab < threshold_log)
+        gap_pos = carry.p1g > NEG
+        needs_new = pushed_lab & (c < 0) & (~is_rep | gap_pos[:, None])
+
+        new_id, parent, label, child, n_nodes, overflow = _alloc_nodes_duplex(
+            carry, needs_new, N, A, K, active
+        )
+        nid = jnp.where(c >= 0, c, new_id)
+
+        # build bands for candidate children; scatter only allocated ones
+        blab_c, bgap_c, bmax_c = _build_bands(
+            carry, rows_fn, root_gap, lo, hi, is_rep, carry.state, N, A, K, W, Wr
+        )
+        flat_ids = jnp.where(
+            (new_id >= 0) & active, new_id, N
+        ).reshape(-1)  # N -> dropped
+        blab = carry.blab.at[flat_ids].set(
+            blab_c.reshape(K * A, W), mode="drop"
+        )
+        bgap = carry.bgap.at[flat_ids].set(
+            bgap_c.reshape(K * A, W), mode="drop"
+        )
+        boff = carry.boff.at[flat_ids].set(lo, mode="drop")
+        blen = carry.blen.at[flat_ids].set(hi - lo, mode="drop")
+        bmax = carry.bmax.at[flat_ids].set(bmax_c.reshape(-1), mode="drop")
+
+        p1tot = ls_add(carry.p1l, carry.p1g)
+
+        # slot 0: blank
+        key_b = carry.node
+        g_b = p1tot + p0
+        push_b = carry.valid & (p0 > threshold_log)
+        state_b = carry.state
+
+        if crf:
+            # arrivals only (duplex.rs:754-779)
+            key_l = nid
+            l_l = p1tot[:, None] + plab
+            push_l = pushed_lab & (nid >= 0)
+            state_l = ((carry.state[:, None] * A) % S + lbl_idx[None, :]).astype(
+                jnp.int32
+            )
+            key = jnp.concatenate([key_b[:, None], key_l], axis=1).reshape(-1)
+            lv = jnp.concatenate(
+                [jnp.full((K, 1), NEG), l_l], axis=1
+            ).reshape(-1)
+            gv = jnp.concatenate(
+                [g_b[:, None], jnp.full((K, A), NEG)], axis=1
+            ).reshape(-1)
+            pushed = jnp.concatenate([push_b[:, None], push_l], axis=1).reshape(-1)
+            statev = jnp.concatenate(
+                [state_b[:, None], state_l], axis=1
+            ).reshape(-1)
+        else:
+            # stay/fork interleave like 1D (duplex.rs:536-592)
+            key_1 = jnp.where(is_rep, carry.node[:, None], nid)
+            l_1 = jnp.where(
+                is_rep, carry.p1l[:, None] + plab, p1tot[:, None] + plab
+            )
+            push_1 = pushed_lab & (is_rep | (nid >= 0))
+            key_2 = nid
+            l_2 = carry.p1g[:, None] + plab
+            push_2 = pushed_lab & is_rep & (nid >= 0)
+
+            key_il = jnp.stack([key_1, key_2], axis=-1).reshape(K, 2 * A)
+            l_il = jnp.stack([l_1, l_2], axis=-1).reshape(K, 2 * A)
+            push_il = jnp.stack([push_1, push_2], axis=-1).reshape(K, 2 * A)
+            key = jnp.concatenate([key_b[:, None], key_il], axis=1).reshape(-1)
+            lv = jnp.concatenate([jnp.full((K, 1), NEG), l_il], axis=1).reshape(-1)
+            gv = jnp.concatenate(
+                [g_b[:, None], jnp.full((K, 2 * A), NEG)], axis=1
+            ).reshape(-1)
+            pushed = jnp.concatenate([push_b[:, None], push_il], axis=1).reshape(-1)
+            statev = jnp.zeros_like(key)
+
+        p2v = jnp.broadcast_to(
+            carry.p2m[:, None], (K, key.shape[0] // K)
+        ).reshape(-1)
+
+        node_n, l_n, g_n, p2_n, st_n, valid_n, nan_flag, empty_flag = (
+            _duplex_merge_select(key, lv, gv, p2v, statev, pushed, bmax, K, N)
+        )
+
+        step_err = jnp.where(
+            overflow,
+            errors.NODE_OVERFLOW,
+            jnp.where(
+                nan_flag,
+                errors.INCOMPARABLE_VALUES,
+                jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+            ),
+        )
+        err = jnp.where(
+            carry.err > 0, carry.err, jnp.where(active, step_err, errors.OK)
+        ).astype(jnp.int32)
+
+        node_n = jnp.where(valid_n, node_n, -2)
+        new_carry = carry._replace(
+            node=jnp.where(active, node_n, carry.node),
+            state=jnp.where(active, st_n, carry.state),
+            p1l=jnp.where(active, jnp.where(valid_n, l_n, NEG), carry.p1l),
+            p1g=jnp.where(active, jnp.where(valid_n, g_n, NEG), carry.p1g),
+            p2m=jnp.where(active, jnp.where(valid_n, p2_n, NEG), carry.p2m),
+            valid=jnp.where(active, valid_n, carry.valid),
+            parent=parent,
+            label=label,
+            child=child,
+            blab=blab,
+            bgap=bgap,
+            boff=boff,
+            blen=blen,
+            bmax=bmax,
+            n_nodes=n_nodes,
+            err=err,
+        )
+        return (new_carry, l2, root_gap), None
+
+    return step
+
+
+def _init_duplex_carry(K, N, A, W, init_state):
+    slot = jnp.arange(K, dtype=jnp.int32)
+    return DuplexCarry(
+        node=jnp.where(slot == 0, jnp.int32(-1), jnp.int32(-2)),
+        state=jnp.where(slot == 0, jnp.asarray(init_state, jnp.int32), 0),
+        p1l=jnp.full((K,), NEG),
+        p1g=jnp.where(slot == 0, jnp.float32(0.0), NEG),
+        p2m=jnp.where(slot == 0, jnp.float32(0.0), NEG),
+        valid=slot == 0,
+        parent=jnp.full((N,), -2, jnp.int32),
+        label=jnp.full((N,), -1, jnp.int32),
+        child=jnp.full((N + 1, A), -1, jnp.int32),
+        blab=jnp.full((N, W), NEG),
+        bgap=jnp.full((N, W), NEG),
+        boff=jnp.zeros((N,), jnp.int32),
+        blen=jnp.zeros((N,), jnp.int32),
+        bmax=jnp.full((N,), NEG),
+        n_nodes=jnp.int32(0),
+        last_upper=jnp.int32(0),
+        err=jnp.int32(0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beam_size",
+        "collapse_repeats",
+        "max_nodes",
+        "W",
+        "Wr",
+        "Wext",
+        "needs_ext",
+        "crf",
+    ),
+)
+def duplex_device(
+    l1: jnp.ndarray,  # [T1, A+1] (or [T1, S, A+1] for crf) log probs
+    l2: jnp.ndarray,  # [T2, A+1] (or [T2, S, A+1]) log probs
+    root_gap: jnp.ndarray,  # [Wr] root band gap log probs
+    lo: jnp.ndarray,  # [T1] i32 clamped lower bounds
+    hi: jnp.ndarray,  # [T1] i32 clamped upper bounds
+    threshold_log: jnp.ndarray,
+    init_state: jnp.ndarray,  # scalar i32 (CRF; 0 otherwise)
+    *,
+    beam_size: int,
+    collapse_repeats: bool,
+    max_nodes: int,
+    W: int,
+    Wr: int,
+    Wext: int,
+    needs_ext: bool,
+    crf: bool,
+):
+    T1 = l1.shape[0]
+    A1 = l1.shape[-1]
+    A = A1 - 1
+    S = l1.shape[1] if crf else 1
+    K = beam_size
+    N = max_nodes
+
+    carry = _init_duplex_carry(K, N, A, W, init_state)
+    step = _make_duplex_step(
+        A=A,
+        S=S,
+        K=K,
+        N=N,
+        W=W,
+        Wr=Wr,
+        Wext=Wext,
+        collapse=collapse_repeats,
+        crf=crf,
+        needs_ext=needs_ext,
+        threshold_log=jnp.asarray(threshold_log, jnp.float32),
+        T2=l2.shape[0],
+    )
+    xs = (l1, lo, hi, jnp.arange(T1, dtype=jnp.int32))
+    (carry, _, _), _ = jax.lax.scan(step, (carry, l2, root_gap), xs)
+
+    times = jnp.zeros_like(carry.label)  # duplex returns no path
+    labels_rev, _, count = _traceback(
+        carry.node[0], carry.parent, carry.label, times, T1
+    )
+    return {"labels_rev": labels_rev, "count": count, "err": carry.err}
+
+
+# ------------------------------------------------------------- host wrappers
+
+
+def _prep_envelope(envelope: np.ndarray, T2: int):
+    lo = np.maximum(envelope[:, 0], 0).astype(np.int32)
+    hi = np.minimum(envelope[:, 1], T2).astype(np.int32)
+    W = int(max(hi.max() - lo.min() + 1, 1)) if len(hi) else 1
+    Wr = int(min(max(envelope[0, 1], 0), T2)) + 1 if len(hi) else 1
+    needs_ext = bool(np.any(hi[1:] > hi[:-1]))
+    Wext = int(max(hi.max() - hi.min(), 0)) if needs_ext else 0
+    return lo, hi, W, Wr, needs_ext, Wext
+
+
+def _duplex_max_nodes(T1, K, A, W, cap_bytes=2_000_000_000):
+    worst = T1 * K * A + 8
+    by_mem = max(cap_bytes // max(W * 8, 1), 1024)
+    return int(min(worst, by_mem))
+
+
+def beam_search_duplex_host(
+    net1: np.ndarray,
+    net2: np.ndarray,
+    alphabet,
+    envelope: np.ndarray,
+    beam_size: int,
+    beam_cut_threshold: float,
+    collapse_repeats: bool,
+    max_nodes: Optional[int] = None,
+) -> str:
+    """Host wrapper: log-convert, envelope prep, kernel, string assembly."""
+    T1, A1 = net1.shape
+    T2 = net2.shape[0]
+    lo, hi, W, Wr, needs_ext, Wext = _prep_envelope(envelope, T2)
+    if max_nodes is None:
+        max_nodes = _duplex_max_nodes(T1, beam_size, A1 - 1, W)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l1 = np.log(net1, dtype=np.float32)
+        l2 = np.log(net2, dtype=np.float32)
+        thr = np.float32(np.log(np.float32(beam_cut_threshold)))
+        # root band: cumulative blank run over net2 (duplex.rs:389-409)
+        root_gap = np.concatenate(
+            [[np.float32(0.0)], np.cumsum(l2[: Wr - 1, 0], dtype=np.float32)]
+        ).astype(np.float32)
+
+    out = duplex_device(
+        l1,
+        l2,
+        root_gap,
+        lo,
+        hi,
+        thr,
+        np.int32(0),
+        beam_size=int(beam_size),
+        collapse_repeats=bool(collapse_repeats),
+        max_nodes=int(max_nodes),
+        W=W,
+        Wr=Wr,
+        Wext=Wext,
+        needs_ext=needs_ext,
+        crf=False,
+    )
+    errors.raise_for_status(int(out["err"]))
+    n = int(out["count"])
+    labels_rev = np.asarray(out["labels_rev"])[:n]
+    return "".join(alphabet[int(l) + 1] for l in labels_rev[::-1])
+
+
+def crf_beam_search_duplex_host(
+    net1: np.ndarray,
+    init1: np.ndarray,
+    net2: np.ndarray,
+    init2: np.ndarray,
+    alphabet,
+    envelope: np.ndarray,
+    beam_size: int,
+    beam_cut_threshold: float,
+    max_nodes: Optional[int] = None,
+) -> str:
+    T1, S, A1 = net1.shape
+    T2 = net2.shape[0]
+    n_base = A1 - 1
+    lo, hi, W, Wr, needs_ext, Wext = _prep_envelope(envelope, T2)
+    if max_nodes is None:
+        max_nodes = _duplex_max_nodes(T1, beam_size, n_base, W)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l1 = np.log(net1, dtype=np.float32)
+        l2 = np.log(net2, dtype=np.float32)
+        thr = np.float32(np.log(np.float32(beam_cut_threshold)))
+
+    # crf root band walks the blank state trajectory (duplex.rs:411-441)
+    state = int(np.argmax(init2))
+    root_gap = np.empty((Wr,), np.float32)
+    cur = np.float32(0.0)
+    root_gap[0] = cur
+    for i in range(Wr - 1):
+        cur = np.float32(cur + l2[i, state, 0])
+        root_gap[i + 1] = cur
+        state = (state * n_base) % S
+
+    out = duplex_device(
+        l1,
+        l2,
+        root_gap,
+        lo,
+        hi,
+        thr,
+        np.int32(np.argmax(init1)),
+        beam_size=int(beam_size),
+        collapse_repeats=False,
+        max_nodes=int(max_nodes),
+        W=W,
+        Wr=Wr,
+        Wext=Wext,
+        needs_ext=needs_ext,
+        crf=True,
+    )
+    errors.raise_for_status(int(out["err"]))
+    n = int(out["count"])
+    labels_rev = np.asarray(out["labels_rev"])[:n]
+    return "".join(alphabet[int(l) + 1] for l in labels_rev[::-1])

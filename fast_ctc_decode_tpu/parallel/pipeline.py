@@ -1,0 +1,187 @@
+"""Sharded batch decode pipeline.
+
+Reads stream in as padded posterior batches ``[B, T, A+1]`` with per-read
+lengths; the batch axis is sharded over the 1-D ``data`` mesh (pjit infers
+the partitioning of the vmapped scan — reads never communicate), decoded
+token/path arrays come back sharded, and only fixed-width arrays + counters
+cross host boundaries.  Ragged strings are assembled host-local per shard.
+
+A ``shard_map``-based variant demonstrates explicit collectives: a ``psum``
+over the data axis merges per-shard read counters (the reads/s accounting
+the multi-host benchmark uses).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .. import errors
+from ..alphabet import normalize_alphabet
+from ..ops import beam as beam_ops
+from ..ops import viterbi as viterbi_ops
+from .mesh import DATA_AXIS, batch_sharding, make_data_mesh
+
+
+class BatchBeamDecoder:
+    """Batched, mesh-sharded CTC prefix beam search decoder.
+
+    Static configuration (shapes compile once): T, alphabet size, beam size,
+    collapse flag, max_nodes budget.  ``decode`` accepts [B, T, A+1] f32
+    posteriors + [B] lengths, with B divisible by the mesh size.
+    """
+
+    def __init__(
+        self,
+        alphabet,
+        T: int,
+        beam_size: int = 5,
+        beam_cut_threshold: float = 0.0,
+        collapse_repeats: bool = True,
+        max_nodes: Optional[int] = None,
+        mesh=None,
+    ):
+        self.alphabet = normalize_alphabet(alphabet)
+        self.T = int(T)
+        self.beam_size = int(beam_size)
+        self.threshold = np.float32(beam_cut_threshold)
+        self.collapse = bool(collapse_repeats)
+        self.max_nodes = int(
+            max_nodes
+            if max_nodes is not None
+            else beam_ops.default_max_nodes(T, beam_size, len(self.alphabet) - 1)
+        )
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self._sharding = batch_sharding(self.mesh)
+
+        kernel = functools.partial(
+            beam_ops.beam_search_device_batch,
+            beam_size=self.beam_size,
+            collapse_repeats=self.collapse,
+            max_nodes=self.max_nodes,
+        )
+        self._fn = jax.jit(
+            lambda p, l: kernel(p, l, self.threshold),
+            in_shardings=(self._sharding, self._sharding),
+            out_shardings=self._sharding,
+        )
+
+    def decode_arrays(self, probs, lengths):
+        """Device decode only — returns the raw fixed-width result dict
+        (labels_rev, times_rev, count, err), sharded over the mesh."""
+        probs = jnp.asarray(probs, jnp.float32)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        return self._fn(probs, lengths)
+
+    def decode(self, probs, lengths) -> List[Tuple[str, List[int], int]]:
+        """Full decode: returns [(sequence, path, err_code)] per read.
+        Reads that fail keep their status code instead of raising, so one
+        bad read cannot abort a batch (reference would raise per call).
+        String assembly uses the native C++ detokenizer when available."""
+        from ..native import detokenize_batch
+
+        out = jax.device_get(self.decode_arrays(probs, lengths))
+        counts = np.where(
+            np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
+        ).astype(np.int32)
+        seqs = detokenize_batch(
+            np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
+        )
+        res = []
+        for seq, times_rev, n, err in zip(
+            seqs, out["times_rev"], counts, out["err"]
+        ):
+            err = int(err)
+            if err != errors.OK:
+                res.append(("", [], err))
+                continue
+            path = [int(t) for t in times_rev[: int(n)][::-1]]
+            res.append((seq, path, errors.OK))
+        return res
+
+
+class BatchViterbiDecoder:
+    """Batched, mesh-sharded viterbi decoder (device argmax + emission)."""
+
+    def __init__(
+        self,
+        alphabet,
+        T: int,
+        collapse_repeats: bool = True,
+        qscale: float = 1.0,
+        qbias: float = 0.0,
+        mesh=None,
+    ):
+        self.alphabet = normalize_alphabet(alphabet)
+        self.T = int(T)
+        self.collapse = bool(collapse_repeats)
+        self.qscale = np.float32(qscale)
+        self.qbias = np.float32(qbias)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self._sharding = batch_sharding(self.mesh)
+
+        self._fn = jax.jit(
+            lambda p, l: jax.vmap(
+                lambda pp, ll: viterbi_ops.viterbi_device(
+                    pp, ll, self.qscale, self.qbias, collapse_repeats=self.collapse
+                )
+            )(p, l),
+            in_shardings=(self._sharding, self._sharding),
+            out_shardings=self._sharding,
+        )
+
+    def decode_arrays(self, probs, lengths):
+        probs = jnp.asarray(probs, jnp.float32)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        return self._fn(probs, lengths)
+
+    def decode(self, probs, lengths, qstring: bool = False):
+        out = jax.device_get(self.decode_arrays(probs, lengths))
+        res = []
+        for tokens, path, qints, n in zip(
+            out["tokens"], out["path"], out["qints"], out["n"]
+        ):
+            n = int(n)
+            seq = "".join(self.alphabet[int(t)] for t in tokens[:n])
+            if qstring:
+                seq += "".join(chr(int(q) + 33) for q in qints[:n])
+            res.append((seq, [int(i) for i in path[:n]]))
+        return res
+
+
+def decode_and_count(mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes):
+    """shard_map decode with an explicit psum over the data axis: every shard
+    decodes its reads and all shards agree on the global (decoded, errored)
+    counters — the cross-host merge the reference never had."""
+
+    def shard_fn(p, l):
+        out = beam_ops.beam_search_device_batch(
+            p,
+            l,
+            jnp.float32(threshold),
+            beam_size=beam_size,
+            collapse_repeats=collapse,
+            max_nodes=max_nodes,
+        )
+        ok = jnp.sum((out["err"] == errors.OK).astype(jnp.int32))
+        bad = jnp.sum((out["err"] != errors.OK).astype(jnp.int32))
+        totals = jax.lax.psum(jnp.stack([ok, bad]), DATA_AXIS)
+        return out, totals
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P()),
+        # per-shard decode is communication-free until the final psum; the
+        # scan carry starts from replicated constants, which the varying-axes
+        # checker would otherwise reject
+        check_vma=False,
+    )
+    return jax.jit(fn)(probs, lengths)
