@@ -2,6 +2,7 @@
 
 North-star config (BASELINE.json): T=1000 x 5-label posteriors, beam_size=5,
 beam_cut_threshold=0.1, exact sequence parity vs the reference beam_search.
+Runs the fast hash-identity engine (fast_ctc_decode_tpu/ops/beam_fast.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is reads/s divided by the 5000 reads/s/chip target.
@@ -18,14 +19,13 @@ import numpy as np
 def main():
     import jax
 
-    from fast_ctc_decode_tpu.ops import beam as beam_ops
+    from fast_ctc_decode_tpu.ops import beam_fast
 
-    B = int(os.environ.get("BENCH_BATCH", "512"))
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
     T = int(os.environ.get("BENCH_T", "1000"))
     A1 = 5
     beam_size = 5
     threshold = np.float32(0.1)
-    max_nodes = beam_ops.default_max_nodes(T, beam_size, A1 - 1)
 
     rng = np.random.RandomState(42)
     probs = rng.rand(B, T, A1).astype(np.float32)
@@ -37,13 +37,12 @@ def main():
     lengths_d = jax.device_put(lengths, dev)
 
     def run():
-        out = beam_ops.beam_search_device_batch(
+        out = beam_fast.beam_search_fast_batch(
             probs_d,
             lengths_d,
             threshold,
             beam_size=beam_size,
             collapse_repeats=True,
-            max_nodes=max_nodes,
         )
         jax.block_until_ready(out)
         return out
@@ -51,7 +50,7 @@ def main():
     out = run()  # compile + warm
     assert all(int(e) == 0 for e in np.asarray(out["err"])), "decode errors in bench"
 
-    # correctness spot check vs the sequential oracle on a few reads
+    # correctness spot check vs the sequential reference-semantics oracle
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     try:
         import oracle

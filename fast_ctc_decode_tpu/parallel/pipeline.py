@@ -25,6 +25,7 @@ from jax.sharding import PartitionSpec as P
 from .. import errors
 from ..alphabet import normalize_alphabet
 from ..ops import beam as beam_ops
+from ..ops import beam_fast as beam_fast_ops
 from ..ops import viterbi as viterbi_ops
 from .mesh import DATA_AXIS, batch_sharding, make_data_mesh
 
@@ -33,8 +34,16 @@ class BatchBeamDecoder:
     """Batched, mesh-sharded CTC prefix beam search decoder.
 
     Static configuration (shapes compile once): T, alphabet size, beam size,
-    collapse flag, max_nodes budget.  ``decode`` accepts [B, T, A+1] f32
-    posteriors + [B] lengths, with B divisible by the mesh size.
+    collapse flag.  ``decode`` accepts [B, T, A+1] f32 posteriors + [B]
+    lengths, with B divisible by the mesh size.
+
+    ``engine`` selects the device kernel:
+      - "fast" (default): hash-identity engine (ops/beam_fast.py) — O(beam)
+        scan state, sequence-exact vs the reference; ``path`` entries for
+        pruned-and-re-derived prefixes report their latest creation time.
+      - "exact": flattened-suffix-tree engine (ops/beam.py) — bit-exact
+        path and tie-break parity at much lower throughput; honours
+        ``max_nodes``.
     """
 
     def __init__(
@@ -46,26 +55,39 @@ class BatchBeamDecoder:
         collapse_repeats: bool = True,
         max_nodes: Optional[int] = None,
         mesh=None,
+        engine: str = "fast",
     ):
         self.alphabet = normalize_alphabet(alphabet)
         self.T = int(T)
         self.beam_size = int(beam_size)
         self.threshold = np.float32(beam_cut_threshold)
         self.collapse = bool(collapse_repeats)
-        self.max_nodes = int(
-            max_nodes
-            if max_nodes is not None
-            else beam_ops.default_max_nodes(T, beam_size, len(self.alphabet) - 1)
-        )
+        if engine not in ("fast", "exact"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
 
-        kernel = functools.partial(
-            beam_ops.beam_search_device_batch,
-            beam_size=self.beam_size,
-            collapse_repeats=self.collapse,
-            max_nodes=self.max_nodes,
-        )
+        if engine == "fast":
+            kernel = functools.partial(
+                beam_fast_ops.beam_search_fast_batch,
+                beam_size=self.beam_size,
+                collapse_repeats=self.collapse,
+            )
+        else:
+            self.max_nodes = int(
+                max_nodes
+                if max_nodes is not None
+                else beam_ops.default_max_nodes(
+                    T, beam_size, len(self.alphabet) - 1
+                )
+            )
+            kernel = functools.partial(
+                beam_ops.beam_search_device_batch,
+                beam_size=self.beam_size,
+                collapse_repeats=self.collapse,
+                max_nodes=self.max_nodes,
+            )
         self._fn = jax.jit(
             lambda p, l: kernel(p, l, self.threshold),
             in_shardings=(self._sharding, self._sharding),
@@ -155,19 +177,22 @@ class BatchViterbiDecoder:
         return res
 
 
-def decode_and_count(mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes):
+def decode_and_count(
+    mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes=None
+):
     """shard_map decode with an explicit psum over the data axis: every shard
     decodes its reads and all shards agree on the global (decoded, errored)
-    counters — the cross-host merge the reference never had."""
+    counters — the cross-host merge the reference never had.  Uses the fast
+    engine (``max_nodes`` is accepted for API compatibility and ignored)."""
+    del max_nodes
 
     def shard_fn(p, l):
-        out = beam_ops.beam_search_device_batch(
+        out = beam_fast_ops.beam_search_fast_batch(
             p,
             l,
             jnp.float32(threshold),
             beam_size=beam_size,
             collapse_repeats=collapse,
-            max_nodes=max_nodes,
         )
         ok = jnp.sum((out["err"] == errors.OK).astype(jnp.int32))
         bad = jnp.sum((out["err"] != errors.OK).astype(jnp.int32))

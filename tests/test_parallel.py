@@ -28,12 +28,31 @@ def test_devices_available():
     assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
 
 
-def test_batch_beam_matches_single_read():
+def test_batch_beam_matches_single_read_fast_engine():
+    # the default (fast) engine is sequence-exact; its path entries may
+    # report later creation times for pruned-and-re-derived prefixes
     B, T, A1 = 16, 40, 5
     probs = random_batch(B, T, A1)
     dec = BatchBeamDecoder("NACGT", T=T, beam_size=5, beam_cut_threshold=0.1)
+    assert dec.engine == "fast"
     results = dec.decode(probs, np.full((B,), T, np.int32))
     assert len(results) == B
+    for i in range(B):
+        seq, path, err = results[i]
+        assert err == 0
+        want_seq, _ = beam_search(probs[i], "NACGT", 5, 0.1)
+        assert seq == want_seq
+        assert len(path) == len(seq) and path == sorted(path)
+        assert all(0 <= t < T for t in path)
+
+
+def test_batch_beam_matches_single_read_exact_engine():
+    B, T, A1 = 8, 40, 5
+    probs = random_batch(B, T, A1)
+    dec = BatchBeamDecoder(
+        "NACGT", T=T, beam_size=5, beam_cut_threshold=0.1, engine="exact"
+    )
+    results = dec.decode(probs, np.full((B,), T, np.int32))
     for i in range(B):
         seq, path, err = results[i]
         assert err == 0
@@ -51,11 +70,10 @@ def test_batch_beam_ragged_lengths():
     for i in range(B):
         seq, path, err = results[i]
         assert err == 0
-        want_seq, want_path = beam_search(
-            probs[i, : lengths[i]], "NACGT", 5, 0.1
-        )
+        want_seq, _ = beam_search(probs[i, : lengths[i]], "NACGT", 5, 0.1)
         assert seq == want_seq
-        assert path == want_path
+        assert len(path) == len(seq) and path == sorted(path)
+        assert all(0 <= t < int(lengths[i]) for t in path)
 
 
 def test_batch_viterbi_matches_single_read():
