@@ -228,6 +228,26 @@ def crf_beam_search(
     )
 
 
+def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) -> str:
+    """Engine auto-selection for the duplex decoders.
+
+    "fast" (ops/duplex_fast.py) is sequence-exact vs the reference whenever
+    the envelope never triggers band extension — in particular the default
+    full-range envelope — and is orders of magnitude faster.  For banded
+    envelopes it rebuilds the bands of re-derived prefixes over the current
+    window where the reference reuses stale ones, so the bit-exact
+    tree-based engine ("exact", ops/duplex.py) is the default there.
+    """
+    if engine is None:
+        from .ops.duplex_fast import _prep_envelope_fast
+
+        needs_ext = _prep_envelope_fast(envelope, t2)[4]
+        return "exact" if needs_ext else "fast"
+    if engine not in ("fast", "exact"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return engine
+
+
 def beam_search_duplex(
     network_output_1,
     network_output_2,
@@ -238,11 +258,11 @@ def beam_search_duplex(
     collapse_repeats: bool = True,
     *,
     max_nodes: Optional[int] = None,
+    engine: Optional[str] = None,
 ) -> str:
     """2-D pair-consensus beam search; parity with src/lib.rs:411-488 /
-    src/duplex.rs:443-650."""
-    from .ops import duplex as duplex_ops  # deferred: heaviest module
-
+    src/duplex.rs:443-650.  ``engine`` selects the device kernel (see
+    ``_pick_duplex_engine``); default: auto."""
     alphabet = normalize_alphabet(alphabet)
     network_output_1 = _as_f32(network_output_1, 2, "network_output_1")
     network_output_2 = _as_f32(network_output_2, 2, "network_output_2")
@@ -255,6 +275,21 @@ def beam_search_duplex(
         )
     _check_beam_args(alphabet, beam_size, beam_cut_threshold)
     envelope = _check_envelope(envelope, network_output_1, network_output_2)
+
+    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0])
+    if engine == "fast":
+        from .ops import duplex_fast as duplex_fast_ops
+
+        return duplex_fast_ops.beam_search_duplex_fast_host(
+            network_output_1,
+            network_output_2,
+            alphabet,
+            envelope,
+            int(beam_size),
+            float(beam_cut_threshold),
+            bool(collapse_repeats),
+        )
+    from .ops import duplex as duplex_ops  # deferred: heaviest module
 
     return duplex_ops.beam_search_duplex_host(
         network_output_1,
@@ -279,11 +314,10 @@ def crf_beam_search_duplex(
     beam_cut_threshold: float = 0.0,
     *,
     max_nodes: Optional[int] = None,
+    engine: Optional[str] = None,
 ) -> str:
     """2-D CRF pair-consensus beam search; parity with src/lib.rs:495-578 /
-    src/duplex.rs:652-834."""
-    from .ops import duplex as duplex_ops
-
+    src/duplex.rs:652-834.  ``engine`` as in ``beam_search_duplex``."""
     alphabet = normalize_alphabet(alphabet)
     network_output_1 = _as_f32(network_output_1, 3, "network_output_1")
     network_output_2 = _as_f32(network_output_2, 3, "network_output_2")
@@ -298,6 +332,22 @@ def crf_beam_search_duplex(
         )
     _check_beam_args(alphabet, beam_size, beam_cut_threshold)
     envelope = _check_envelope(envelope, network_output_1, network_output_2)
+
+    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0])
+    if engine == "fast":
+        from .ops import duplex_fast as duplex_fast_ops
+
+        return duplex_fast_ops.crf_beam_search_duplex_fast_host(
+            network_output_1,
+            init_state_1,
+            network_output_2,
+            init_state_2,
+            alphabet,
+            envelope,
+            int(beam_size),
+            float(beam_cut_threshold),
+        )
+    from .ops import duplex as duplex_ops
 
     return duplex_ops.crf_beam_search_duplex_host(
         network_output_1,
