@@ -210,3 +210,63 @@ def decode_and_count(
         check_vma=False,
     )
     return jax.jit(fn)(probs, lengths)
+
+
+def decode_many(
+    reads: Sequence[np.ndarray],
+    alphabet,
+    *,
+    beam_size: int = 5,
+    beam_cut_threshold: float = 0.0,
+    collapse_repeats: bool = True,
+    batch_size: int = 256,
+    T: Optional[int] = None,
+    mesh=None,
+    engine: str = "fast",
+    checkpoint_path: Optional[str] = None,
+) -> List[Tuple[str, List[int], int]]:
+    """Decode a long list of variable-length reads with checkpoint/resume.
+
+    Reads are padded to a common T (max length unless given), processed in
+    fixed ``batch_size`` device batches over the data mesh, and the
+    (sequence, path, err) results are persisted after every batch via
+    ``utils.checkpoint.DecodeCheckpoint`` — a preempted run restarted with
+    the same ``checkpoint_path`` resumes at the first undecoded read.
+    """
+    from ..utils.checkpoint import DecodeCheckpoint
+    from ..utils.padding import pad_batch
+
+    if T is None:
+        T = max((r.shape[0] for r in reads), default=0)
+    meta = {
+        "n_reads": len(reads),
+        "T": int(T),
+        "beam_size": int(beam_size),
+        "beam_cut_threshold": float(beam_cut_threshold),
+        "collapse_repeats": bool(collapse_repeats),
+        "engine": engine,
+    }
+    ckpt = DecodeCheckpoint.load_or_create(checkpoint_path, meta)
+    if ckpt.cursor >= len(reads):
+        return ckpt.results
+
+    dec = BatchBeamDecoder(
+        alphabet,
+        T=T,
+        beam_size=beam_size,
+        beam_cut_threshold=beam_cut_threshold,
+        collapse_repeats=collapse_repeats,
+        mesh=mesh,
+        engine=engine,
+    )
+    n_dev = len(dec.mesh.devices.reshape(-1))
+    batch_size = max(batch_size - batch_size % n_dev, n_dev)
+
+    while ckpt.cursor < len(reads):
+        chunk = reads[ckpt.cursor : ckpt.cursor + batch_size]
+        n = len(chunk)
+        # pad the final partial batch up to a full device batch
+        padded = list(chunk) + [chunk[-1]] * (batch_size - n)
+        probs, lengths = pad_batch(padded, T=T)
+        ckpt.extend(dec.decode(probs, lengths), n)
+    return ckpt.results
