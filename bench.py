@@ -2,7 +2,8 @@
 
 North-star config (BASELINE.json): T=1000 x 5-label posteriors, beam_size=5,
 beam_cut_threshold=0.1, exact sequence parity vs the reference beam_search.
-Runs the fast hash-identity engine (fast_ctc_decode_tpu/ops/beam_fast.py).
+Runs the fused Pallas kernel (fast_ctc_decode_tpu/ops/beam_pallas.py) by
+default; BENCH_ENGINE=fast selects the scan engine.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is reads/s divided by the 5000 reads/s/chip target.
@@ -19,8 +20,9 @@ import numpy as np
 def main():
     import jax
 
-    from fast_ctc_decode_tpu.ops import beam_fast
+    from fast_ctc_decode_tpu.ops import beam_fast, beam_pallas
 
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
     B = int(os.environ.get("BENCH_BATCH", "8192"))
     T = int(os.environ.get("BENCH_T", "1000"))
     A1 = 5
@@ -36,14 +38,26 @@ def main():
     probs_d = jax.device_put(probs, dev)
     lengths_d = jax.device_put(lengths, dev)
 
-    def run():
-        out = beam_fast.beam_search_fast_batch(
+    if engine == "pallas":
+        kernel = lambda: beam_pallas.beam_search_pallas_batch(
+            probs_d,
+            lengths_d,
+            threshold,
+            beam_size=beam_size,
+            collapse_repeats=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        kernel = lambda: beam_fast.beam_search_fast_batch(
             probs_d,
             lengths_d,
             threshold,
             beam_size=beam_size,
             collapse_repeats=True,
         )
+
+    def run():
+        out = kernel()
         jax.block_until_ready(out)
         return out
 

@@ -38,12 +38,16 @@ class BatchBeamDecoder:
     lengths, with B divisible by the mesh size.
 
     ``engine`` selects the device kernel:
-      - "fast" (default): hash-identity engine (ops/beam_fast.py) — O(beam)
+      - "pallas" (default on TPU): fully fused Pallas kernel
+        (ops/beam_pallas.py) — bit-identical to "fast", several times
+        faster; runs interpreted (slow) off-TPU.
+      - "fast": hash-identity scan engine (ops/beam_fast.py) — O(beam)
         scan state, sequence-exact vs the reference; ``path`` entries for
         pruned-and-re-derived prefixes report their latest creation time.
       - "exact": flattened-suffix-tree engine (ops/beam.py) — bit-exact
         path and tie-break parity at much lower throughput; honours
         ``max_nodes``.
+      - None (default): "pallas" on TPU backends, "fast" elsewhere.
     """
 
     def __init__(
@@ -55,20 +59,31 @@ class BatchBeamDecoder:
         collapse_repeats: bool = True,
         max_nodes: Optional[int] = None,
         mesh=None,
-        engine: str = "fast",
+        engine: Optional[str] = None,
     ):
         self.alphabet = normalize_alphabet(alphabet)
         self.T = int(T)
         self.beam_size = int(beam_size)
         self.threshold = np.float32(beam_cut_threshold)
         self.collapse = bool(collapse_repeats)
-        if engine not in ("fast", "exact"):
+        if engine is None:
+            engine = "pallas" if jax.default_backend() == "tpu" else "fast"
+        if engine not in ("pallas", "fast", "exact"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
 
-        if engine == "fast":
+        if engine == "pallas":
+            from ..ops import beam_pallas as beam_pallas_ops
+
+            kernel = functools.partial(
+                beam_pallas_ops.beam_search_pallas_batch,
+                beam_size=self.beam_size,
+                collapse_repeats=self.collapse,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif engine == "fast":
             kernel = functools.partial(
                 beam_fast_ops.beam_search_fast_batch,
                 beam_size=self.beam_size,
@@ -88,11 +103,25 @@ class BatchBeamDecoder:
                 collapse_repeats=self.collapse,
                 max_nodes=self.max_nodes,
             )
-        self._fn = jax.jit(
-            lambda p, l: kernel(p, l, self.threshold),
-            in_shardings=(self._sharding, self._sharding),
-            out_shardings=self._sharding,
-        )
+        call = lambda p, l: kernel(p, l, self.threshold)
+        if engine == "pallas":
+            # a pallas_call does not partition under pjit — shard-map it so
+            # each device runs the fused kernel on its local read shard
+            self._fn = jax.jit(
+                jax.shard_map(
+                    call,
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._fn = jax.jit(
+                call,
+                in_shardings=(self._sharding, self._sharding),
+                out_shardings=self._sharding,
+            )
 
     def decode_arrays(self, probs, lengths):
         """Device decode only — returns the raw fixed-width result dict
