@@ -190,11 +190,16 @@ def crf_beam_search(
     beam_cut_threshold: float = 0.0,
     *,
     max_nodes: Optional[int] = None,
+    engine: str = "exact",
 ) -> Tuple[str, List[int]]:
     """CRF prefix beam search; parity with src/lib.rs:255-286 /
     src/search.rs:38-157.  Note the reference binding performs no
     beam_size/threshold validation here; beam_size=0 empties the beam on the
-    first step, which surfaces as RanOutOfBeam."""
+    first step, which surfaces as RanOutOfBeam.
+
+    ``engine``: "exact" (default — bit-exact path/tie parity via the
+    flattened suffix tree) or "fast" (hash-identity engine, sequence-exact,
+    much faster; see ops/beam_fast.py for the contract)."""
     alphabet = normalize_alphabet(alphabet)
     network_output = _as_f32(network_output, 3, "network_output")
     init_state = _as_f32(init_state, 1, "init_state")
@@ -212,17 +217,29 @@ def crf_beam_search(
 
     T = network_output.shape[0]
     A = network_output.shape[2] - 1
-    if max_nodes is None:
-        max_nodes = beam_ops.default_max_nodes(T, beam_size, A)
+    if engine == "fast":
+        from .ops import beam_fast as beam_fast_ops
 
-    out = crf_ops.crf_beam_search_device(
-        network_output,
-        init_state,
-        np.int32(T),
-        np.float32(beam_cut_threshold),
-        beam_size=int(beam_size),
-        max_nodes=int(max_nodes),
-    )
+        out = beam_fast_ops.crf_beam_search_fast_device(
+            network_output,
+            init_state,
+            np.int32(T),
+            np.float32(beam_cut_threshold),
+            beam_size=int(beam_size),
+        )
+    elif engine == "exact":
+        if max_nodes is None:
+            max_nodes = beam_ops.default_max_nodes(T, beam_size, A)
+        out = crf_ops.crf_beam_search_device(
+            network_output,
+            init_state,
+            np.int32(T),
+            np.float32(beam_cut_threshold),
+            beam_size=int(beam_size),
+            max_nodes=int(max_nodes),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     return _beam_result_to_seq_path(
         {k: np.asarray(v) for k, v in out.items()}, alphabet
     )

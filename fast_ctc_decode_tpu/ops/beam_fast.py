@@ -433,10 +433,21 @@ def beam_search_fast_batch(
 
 
 def _crf_fast_step(carry, xs, *, A, S, K, length, threshold):
-    (p, t) = xs  # [S, A+1]
+    (p, t) = xs  # [S, A+1] or flat [S*(A+1)]
     active = (t < length) & (carry.err == errors.OK)
 
-    prow = jnp.take(p, jnp.clip(carry.state, 0, S - 1), axis=0)  # [K, A+1]
+    # per-tip state row selection as a one-hot masked sum: XLA gathers on
+    # TPU lower to something O(B*S)-slow under vmap, while this fuses into
+    # a masked reduction; `where` (not multiply) keeps NaN confined to the
+    # selected row, matching the reference's plain row indexing
+    p3 = p.reshape(S, A + 1)
+    oh = (
+        jnp.clip(carry.state, 0, S - 1)[:, None]
+        == jnp.arange(S, dtype=jnp.int32)[None, :]
+    )[:, :, None]  # [K, S, 1]
+    prow = jnp.sum(
+        jnp.where(oh, p3[None, :, :], jnp.float32(0)), axis=1
+    )  # [K, A+1]
     p0 = prow[:, 0]
     plab = prow[:, 1:]
     lbl = jnp.arange(A, dtype=jnp.int32)
@@ -497,8 +508,46 @@ def crf_beam_search_fast_device(
 
 @functools.partial(jax.jit, static_argnames=("beam_size",))
 def crf_beam_search_fast_batch(probs, init_states, lengths, beam_cut_threshold, *, beam_size: int):
-    """vmap over [B, T, S, A+1] + [B, S] init states + [B] lengths."""
-    fn = lambda p, s, l: crf_beam_search_fast_device(
-        p, s, l, beam_cut_threshold, beam_size=beam_size
-    )
-    return jax.vmap(fn)(probs, init_states, lengths)
+    """Batched CRF beam over [B, T, S, A+1] + [B, S] init states + [B] lengths.
+
+    Structured scan-outside/vmap-inside: CRF posteriors are enormous
+    (B*T*S*(A+1) floats), and vmapping a scan makes XLA re-lay the whole
+    tensor time-major plus working copies — OOM territory.  Transposing
+    once to [T, B, S, A+1] and scanning the leading axis keeps memory at
+    input + one copy."""
+    B, T, S, A1 = probs.shape
+    A = A1 - 1
+    K = beam_size
+    thr = jnp.asarray(beam_cut_threshold, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    # flatten (S, A+1) before transposing: the minor dim must stay wide
+    # enough to avoid lane-padding blowup on the big CRF tensor
+    probs_t = jnp.transpose(probs.reshape(B, T, S * A1), (1, 0, 2))
+    carry0 = jax.vmap(
+        lambda i: _init_fast_carry(
+            K, jnp.max(i), i[0], jnp.argmax(i).astype(jnp.int32)
+        )
+    )(jnp.asarray(init_states, jnp.float32))
+
+    def step(carry, xs):
+        p, t = xs  # p: [B, S, A+1]
+        fn = lambda c, pp, ln: _crf_fast_step(
+            c, (pp, t), A=A, S=S, K=K, length=ln, threshold=thr
+        )
+        return jax.vmap(fn)(carry, p, lengths)
+
+    carry, beam_ids = jax.lax.scan(
+        step, carry0, (probs_t, jnp.arange(T, dtype=jnp.int32))
+    )  # beam_ids: [T, B, K]
+
+    ids_btk = jnp.transpose(beam_ids, (1, 0, 2))
+    labels_rev, times_rev, count = jax.vmap(
+        lambda i0, ids: _traceback_positional(i0, ids, T, K, A)
+    )(carry.id[:, 0], ids_btk)
+    return {
+        "labels_rev": labels_rev,
+        "times_rev": times_rev,
+        "count": count,
+        "err": carry.err,
+    }

@@ -299,3 +299,184 @@ def decode_many(
         probs, lengths = pad_batch(padded, T=T)
         ckpt.extend(dec.decode(probs, lengths), n)
     return ckpt.results
+
+
+class BatchCrfBeamDecoder:
+    """Batched, mesh-sharded CRF prefix beam search (fast engine).
+
+    Accepts [B, T, S, A+1] f32 posteriors, [B, S] init states and [B]
+    lengths; sequence-exact vs the reference crf_beam_search (ops/beam_fast
+    contract).
+    """
+
+    def __init__(
+        self,
+        alphabet,
+        T: int,
+        n_state: int,
+        beam_size: int = 5,
+        beam_cut_threshold: float = 0.0,
+        mesh=None,
+    ):
+        self.alphabet = normalize_alphabet(alphabet)
+        self.T = int(T)
+        self.n_state = int(n_state)
+        self.beam_size = int(beam_size)
+        self.threshold = np.float32(beam_cut_threshold)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self._sharding = batch_sharding(self.mesh)
+        kernel = functools.partial(
+            beam_fast_ops.crf_beam_search_fast_batch,
+            beam_size=self.beam_size,
+        )
+        self._fn = jax.jit(
+            lambda p, s, l: kernel(p, s, l, self.threshold),
+            in_shardings=(self._sharding,) * 3,
+            out_shardings=self._sharding,
+        )
+
+    def decode_arrays(self, probs, init_states, lengths):
+        return self._fn(
+            jnp.asarray(probs, jnp.float32),
+            jnp.asarray(init_states, jnp.float32),
+            jnp.asarray(lengths, jnp.int32),
+        )
+
+    def decode(self, probs, init_states, lengths):
+        """Returns [(sequence, path, err_code)] per read."""
+        from ..native import detokenize_batch
+
+        out = jax.device_get(self.decode_arrays(probs, init_states, lengths))
+        counts = np.where(
+            np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
+        ).astype(np.int32)
+        seqs = detokenize_batch(
+            np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
+        )
+        res = []
+        for seq, times_rev, n, err in zip(
+            seqs, out["times_rev"], counts, out["err"]
+        ):
+            err = int(err)
+            if err != errors.OK:
+                res.append(("", [], err))
+            else:
+                res.append((seq, [int(t) for t in times_rev[: int(n)][::-1]], 0))
+        return res
+
+
+class BatchDuplexDecoder:
+    """Batched, mesh-sharded 2-D duplex pair-consensus decoder (fast engine).
+
+    Static shapes per batch: T1, T2 (bucket upstream).  Envelopes are
+    per-pair ``[B, T1, 2]`` (default full range); full-range envelopes are
+    sequence-exact vs the reference, banded ones follow the fast engine's
+    documented window-rebuild semantics (ops/duplex_fast.py).
+    """
+
+    def __init__(
+        self,
+        alphabet,
+        T1: int,
+        T2: int,
+        beam_size: int = 5,
+        beam_cut_threshold: float = 0.0,
+        collapse_repeats: bool = True,
+        mesh=None,
+    ):
+        from ..ops import duplex_fast as duplex_fast_ops
+
+        self._ops = duplex_fast_ops
+        self.alphabet = normalize_alphabet(alphabet)
+        self.T1, self.T2 = int(T1), int(T2)
+        self.beam_size = int(beam_size)
+        self.threshold = float(beam_cut_threshold)
+        self.collapse = bool(collapse_repeats)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self._sharding = batch_sharding(self.mesh)
+
+    def decode(self, net1, net2, envelopes=None, lengths=None):
+        """net1 [B, T1, A+1], net2 [B, T2, A+1] linear probabilities.
+        Returns [(sequence, err_code)] per pair (duplex returns no path,
+        matching the reference — src/duplex.rs:638-649)."""
+        B0 = net1.shape[0]
+        T1, T2 = self.T1, self.T2
+        n_dev = len(self.mesh.devices.reshape(-1))
+        pad = (-B0) % n_dev  # pad to a full device batch (length-0 reads)
+        if pad:
+            net1 = np.concatenate([net1, np.repeat(net1[-1:], pad, 0)], 0)
+            net2 = np.concatenate([net2, np.repeat(net2[-1:], pad, 0)], 0)
+            if envelopes is not None:
+                envelopes = np.concatenate(
+                    [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
+                )
+            if lengths is not None:
+                lengths = np.concatenate(
+                    [np.asarray(lengths), np.zeros((pad,), np.int32)]
+                )
+        B = net1.shape[0]
+        if envelopes is None:
+            env = np.zeros((T1, 2), np.int64)
+            env[:, 1] = T2
+            envelopes = np.broadcast_to(env, (B, T1, 2))
+        if lengths is None:
+            lengths = np.full((B,), T1, np.int32)
+            if pad:
+                lengths[B0:] = 0
+
+        # host prep per pair; static W/Wr/Wext are batch maxima
+        los = np.zeros((B, T1), np.int32)
+        his = np.zeros((B, T1), np.int32)
+        W = Wr = 1
+        Wext = 1
+        needs_ext = False
+        for b in range(B):
+            lo, hi, w, wr, ne, wx = self._ops._prep_envelope_fast(
+                np.asarray(envelopes[b]), T2
+            )
+            los[b], his[b] = lo, hi
+            W, Wr, Wext = max(W, w), max(Wr, wr), max(Wext, wx)
+            needs_ext = needs_ext or ne
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
+            l2 = np.log(np.asarray(net2, np.float32), dtype=np.float32)
+            thr = np.float32(np.log(np.float32(self.threshold)))
+        root_gap = np.full((B, Wr), -np.inf, np.float32)
+        for b in range(B):
+            wr_b = int(min(max(envelopes[b][0, 1], 0), T2)) + 1
+            root_gap[b, 0] = 0.0
+            root_gap[b, 1:wr_b] = np.cumsum(
+                l2[b, : wr_b - 1, 0], dtype=np.float32
+            )
+
+        sh = self._sharding
+        out = jax.jit(
+            jax.shard_map(
+                lambda a, c, rg, lo, hi, ln: self._ops.duplex_fast_batch(
+                    a, c, rg, lo, hi, thr,
+                    jnp.zeros(a.shape[0], jnp.int32), ln,
+                    beam_size=self.beam_size,
+                    collapse_repeats=self.collapse,
+                    W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
+                ),
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS),) * 6,
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+        )(l1, l2, root_gap, los, his, np.asarray(lengths, np.int32))
+        out = jax.device_get(out)
+
+        from ..native import detokenize_batch
+
+        counts = np.where(
+            np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
+        ).astype(np.int32)
+        seqs = detokenize_batch(
+            np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
+        )
+        return [
+            (s if int(e) == errors.OK else "", int(e))
+            for s, e in zip(seqs[:B0], np.asarray(out["err"])[:B0])
+        ]
