@@ -147,7 +147,9 @@ def _build_bands(carry, l2_rows_fn, root_gap, lo, hi, is_rep, tstate, N, A, K, W
     return blab, bgap, bmax
 
 
-def _extend_bands(carry, l2_row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, Wext):
+def _extend_bands(
+    carry, l2_row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, Wext, crf
+):
     """Band extension for live beam nodes, parents before children
     (duplex.rs:490-522 + extend_secondary_probs 338-387).  The beam in
     `carry` must already be node-sorted.  Statically unrolled over the K
@@ -196,7 +198,9 @@ def _extend_bands(carry, l2_row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, 
         par_lbl = jnp.where(
             par >= 0, jnp.take(carry.label, jnp.clip(par, 0, N - 1)), -1
         )
-        prep = par_lbl == lbl
+        # the CRF extension recurrence has no repeat branch (duplex.rs:
+        # 323-328); only the plain variant distinguishes repeats (366-377)
+        prep = (par_lbl == lbl) if not crf else jnp.asarray(False)
         st = carry.state[s]
         cur_end = off2 + L2
         n_new = hi - cur_end
@@ -412,7 +416,8 @@ def _make_duplex_step(
                 lambda x, y: jnp.where(ext_flag, x, y), sorted_c, carry
             )
             carry = _extend_bands(
-                beam_c, row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr, Wext
+                beam_c, row_fn, root_gap, lo, hi, ext_flag, N, A, K, W, Wr,
+                Wext, crf
             )
         carry = carry._replace(
             last_upper=jnp.where(active, hi, carry.last_upper)

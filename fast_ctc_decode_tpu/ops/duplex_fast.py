@@ -185,7 +185,7 @@ def _build_band_cells(pl, p0, base, mask):
 # ---------------------------------------------------------- band extension
 
 
-def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext):
+def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, crf):
     """Extend the band of the slot picked by one-hot ``sel [K]`` to hi,
     per duplex.rs:338-387 (plain) / 290-336 (CRF): discard below lo-1,
     refresh the window max, then append cells [end, hi) reading the parent
@@ -225,7 +225,9 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext):
     m_new = _nan_clean_max(tot_row, in_win)
     p2m = jnp.where(do_discard, m_new, p2m)
 
-    is_rep = plastlab == lastlab
+    # the CRF extension recurrence has no repeat branch — base is always
+    # the parent's total (duplex.rs:323-328 vs plain duplex.rs:366-377)
+    is_rep = (plastlab == lastlab) if not crf else jnp.asarray(False)
 
     last_col = jnp.mod(jnp.maximum(end2 - 1, 0), W)
     has_last = end2 > off2
@@ -345,7 +347,7 @@ def _make_step(
                 )
                 carry = _extend_one_slot(
                     carry, root_gap, l2r, lo, hi, sel, act,
-                    K=K, W=W, Wr=Wr, Wext=Wext,
+                    K=K, W=W, Wr=Wr, Wext=Wext, crf=crf,
                 )
         carry = carry._replace(
             last_upper=jnp.where(active, hi, carry.last_upper)

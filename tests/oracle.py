@@ -453,3 +453,171 @@ def beam_search_duplex(net1, net2, alphabet, envelope=None, beam_size=5,
         for label, _ in tree.traceback(beam[0]["node"]):
             seq += alphabet[label + 1]
     return seq[::-1]
+
+
+# ------------------------------------------------------------- crf duplex --
+
+
+def crf_root_probs(l2, init_state, upper):
+    """src/duplex.rs:411-441 — blank-state trajectory root band."""
+    T2, S, A1 = l2.shape
+    n_base = A1 - 1
+    sp = SecondaryProbs(-1)
+    sp.max_prob = F32(0.0)
+    cur = F32(0.0)
+    sp.probs.append((NEG_INF, cur))
+    state = int(init_state)
+    for i in range(min(int(upper), T2)):
+        cur = _ls_mul(cur, l2[i, state, 0])
+        sp.probs.append((NEG_INF, cur))
+        state = (state * n_base) % S
+    return sp
+
+
+def crf_build_secondary_probs(l2, parent, label, tstate, lo, hi):
+    """src/duplex.rs:251-288 — fixed tstate, no repeat branch."""
+    out = SecondaryProbs(lo)
+    last = (NEG_INF, NEG_INF)
+    for idx in range(lo, hi):
+        row = l2[idx, tstate]
+        gap_prob = _ls_mul(_pair_total(last), row[0])
+        pl, pg = parent.get(idx - 1)
+        label_prob = _ls_mul(row[label + 1], _ls_add(last[0], _ls_add(pl, pg)))
+        last = (label_prob, gap_prob)
+        out.probs.append(last)
+        t = _pair_total(last)
+        out.max_prob = t if out.max_prob < t else out.max_prob
+    return out
+
+
+def crf_extend_secondary_probs(sp, l2, parent, label, tstate, lo, hi):
+    """src/duplex.rs:290-336."""
+    if lo > sp.offset:
+        sp.discard_until(lo - 1)
+        if not sp.probs:
+            sp.offset = lo
+        sp.update_max(lo, hi)
+    cur_end = sp.end()
+    last = sp.probs[-1] if sp.probs else (NEG_INF, NEG_INF)
+    for idx in range(cur_end, hi):
+        row = l2[idx, tstate]
+        gap_prob = _ls_mul(_pair_total(last), row[0])
+        pl, pg = parent.get(idx - 1)
+        label_prob = _ls_mul(row[label + 1], _ls_add(last[0], _ls_add(pl, pg)))
+        last = (label_prob, gap_prob)
+        sp.probs.append(last)
+        t = _pair_total(last)
+        sp.max_prob = t if sp.max_prob < t else sp.max_prob
+
+
+def crf_beam_search_duplex(net1, init1, net2, init2, alphabet, envelope=None,
+                           beam_size=5, beam_cut_threshold=0.0):
+    """Oracle for reference crf duplex beam_search (src/duplex.rs:652-834)."""
+    net1 = np.asarray(net1, np.float32)
+    net2 = np.asarray(net2, np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l1 = np.log(net1).astype(np.float32)
+        l2 = np.log(net2).astype(np.float32)
+    thr = _ls_new(beam_cut_threshold)
+    T1, S, A1 = net1.shape
+    T2 = net2.shape[0]
+    n_base = A1 - 1
+    if envelope is None:
+        envelope = np.stack(
+            [np.zeros(T1, np.int64), np.full(T1, T2, np.int64)], axis=1
+        )
+
+    tree = Tree()
+    beam = [dict(node=ROOT, state=int(np.argmax(init1)), p1l=NEG_INF,
+                 p1g=F32(0.0), p2max=F32(0.0))]
+    root_sp = crf_root_probs(l2, int(np.argmax(init2)), int(envelope[0, 1]))
+    last_upper = 0
+
+    for t in range(T1):
+        lo = max(int(envelope[t, 0]), 0)
+        hi = min(int(envelope[t, 1]), T2)
+        if lo >= hi or lo > last_upper:
+            raise RuntimeError("Invalid envelope values")
+
+        if hi > last_upper:
+            beam.sort(key=lambda e: e["node"])  # parents before children
+            for tip in beam:
+                node = tip["node"]
+                if node >= 0:
+                    parent_sp = (
+                        tree.data[tree.parent[node]]
+                        if tree.parent[node] >= 0
+                        else root_sp
+                    )
+                    # NOTE: extension uses the *beam entry's* state, which
+                    # is the post-emission state — not the state the band
+                    # was built with (duplex.rs:711-731)
+                    crf_extend_secondary_probs(
+                        tree.data[node], l2, parent_sp, tree.label[node],
+                        tip["state"], lo, hi,
+                    )
+        last_upper = hi
+
+        next_beam = []
+        for tip in beam:
+            node = tip["node"]
+            pr = l1[t, tip["state"]]
+            p1_total = _ls_add(tip["p1l"], tip["p1g"])
+            if pr[0] > thr:
+                next_beam.append(
+                    dict(node=node, state=tip["state"], p1l=NEG_INF,
+                         p1g=_ls_mul(p1_total, pr[0]), p2max=tip["p2max"])
+                )
+            for label in range(n_base):
+                p = pr[label + 1]
+                if p < thr:
+                    continue
+                child = tree.get_child(node, label)
+                if child is None:
+                    parent_sp = tree.data[node] if node >= 0 else root_sp
+                    sp = crf_build_secondary_probs(
+                        l2, parent_sp, label, tip["state"], lo, hi
+                    )
+                    child = tree.add_node(node, label, sp)
+                next_beam.append(
+                    dict(
+                        node=child,
+                        state=(tip["state"] * n_base) % S + label,
+                        p1l=_ls_mul(p1_total, p),
+                        p1g=NEG_INF,
+                        p2max=tip["p2max"],
+                    )
+                )
+
+        next_beam.sort(key=lambda e: e["node"])
+        merged = []
+        for e in next_beam:
+            if merged and merged[-1]["node"] == e["node"]:
+                acc = merged[-1]
+                acc["p1l"] = _ls_add(acc["p1l"], e["p1l"])
+                acc["p1g"] = _ls_add(acc["p1g"], e["p1g"])
+            else:
+                merged.append(e)
+        for e in merged:
+            if e["node"] >= 0:
+                e["p2max"] = tree.data[e["node"]].max_prob
+        beam = merged
+        scores = [
+            _ls_mul(_ls_add(e["p1l"], e["p1g"]), e["p2max"]) for e in beam
+        ]
+        if len(beam) >= 2 and any(np.isnan(s) for s in scores):
+            raise RuntimeError("Failed to compare values (NaNs in input?)")
+        beam.sort(
+            key=lambda e: -float(_ls_mul(_ls_add(e["p1l"], e["p1g"]), e["p2max"]))
+        )
+        del beam[beam_size:]
+        if not beam:
+            raise RuntimeError(
+                "Ran out of search space (beam_cut_threshold too high)"
+            )
+
+    seq = ""
+    if beam[0]["node"] != ROOT:
+        for label, _ in tree.traceback(beam[0]["node"]):
+            seq += alphabet[label + 1]
+    return seq[::-1]
