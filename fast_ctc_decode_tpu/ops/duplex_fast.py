@@ -147,17 +147,19 @@ def _affine_combine(c1, c2):
     first apply ``c1`` (earlier cells), then ``c2`` — the argument order
     ``lax.associative_scan`` uses for an inclusive prefix scan.
 
-    Coefficients (m11, m21, m22, m12, b1, b2); composition is
-    (M2, b2) o (M1, b1) = (M2 M1, M2 b1 + b2) with logsumexp adds."""
-    m11a, m21a, m22a, m12a, b1a, b2a = c1
-    m11b, m21b, m22b, m12b, b1b, b2b = c2
-    m11 = ls_add(m11b + m11a, m12b + m21a)
-    m12 = ls_add(m11b + m12a, m12b + m22a)
+    The per-cell map M = [[pl, 0], [p0, p0]] is lower-triangular, and
+    lower-triangular structure is closed under composition, so m12 is
+    identically zero and the 2x2 composition needs only 4 logsumexps:
+    coefficients (m11, m21, m22, b1, b2) with
+    (M2, b2) o (M1, b1) = (M2 M1, M2 b1 + b2)."""
+    m11a, m21a, m22a, b1a, b2a = c1
+    m11b, m21b, m22b, b1b, b2b = c2
+    m11 = m11b + m11a
     m21 = ls_add(m21b + m11a, m22b + m21a)
-    m22 = ls_add(m21b + m12a, m22b + m22a)
-    b1 = ls_add(ls_add(m11b + b1a, m12b + b2a), b1b)
+    m22 = m22b + m22a
+    b1 = ls_add(m11b + b1a, b1b)
     b2 = ls_add(ls_add(m21b + b1a, m22b + b2a), b2b)
-    return (m11, m21, m22, m12, b1, b2)
+    return (m11, m21, m22, b1, b2)
 
 
 def _build_band_cells(pl, p0, base, mask):
@@ -173,13 +175,12 @@ def _build_band_cells(pl, p0, base, mask):
     m11 = jnp.where(mask, pl, zero)  # identity when masked
     m21 = jnp.where(mask, p0, negs)
     m22 = jnp.where(mask, p0, zero)
-    m12 = negs
     b1 = jnp.where(mask, pl + base, negs)
     b2 = negs
     out = jax.lax.associative_scan(
-        _affine_combine, (m11, m21, m22, m12, b1, b2), axis=-1
+        _affine_combine, (m11, m21, m22, b1, b2), axis=-1
     )
-    return out[4], out[5]  # b1, b2 = (label, gap) from zero init
+    return out[3], out[4]  # b1, b2 = (label, gap) from zero init
 
 
 # ---------------------------------------------------------- band extension
@@ -299,7 +300,8 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, 
 
 
 def _make_step(
-    l2, root_gap, length, *, A, S, K, W, Wr, Wext, collapse, crf, needs_ext, thr, T2
+    l2, root_gap, length, *, A, S, K, W, Wr, Wext, collapse, crf, needs_ext,
+    static_window, thr, T2
 ):
     KA = K * A
     lbl = jnp.arange(A, dtype=jnp.int32)
@@ -417,13 +419,22 @@ def _make_step(
         )
 
         # ---- fresh candidates' bands, all [K, A] at once ----
-        cells = lo + jnp.arange(W, dtype=jnp.int32)  # absolute t2 per column
+        if static_window:
+            # default full-range envelope: lo = 0, hi = T2 every step, so
+            # all the window indexing is static — no gathers anywhere
+            cells = jnp.arange(W, dtype=jnp.int32)
+        else:
+            cells = lo + jnp.arange(W, dtype=jnp.int32)  # absolute t2
         cmask = cells < hi
         if crf:
             flat_idx = jnp.clip(cells, 0, T2 - 1)[None, :] * S + jnp.clip(
                 carry.state, 0, S - 1
             )[:, None]
             rows = jnp.take(l2.reshape(T2 * S, A + 1), flat_idx, axis=0)  # [K, W, A+1]
+        elif static_window:
+            pad = jnp.broadcast_to(l2[-1:], (W - T2, A + 1)) if W > T2 else l2[:0]
+            rows = jnp.concatenate([l2, pad], axis=0)  # [W, A+1], no gather
+            rows = jnp.broadcast_to(rows[None], (K, W, A + 1))
         else:
             rows = jnp.take(l2, jnp.clip(cells, 0, T2 - 1), axis=0)  # [W, A+1]
             rows = jnp.broadcast_to(rows[None], (K, W, A + 1))
@@ -432,13 +443,19 @@ def _make_step(
 
         # parent (tip) band values at cells - 1
         pv = cells - 1  # [W]
-        pcols = jnp.mod(jnp.maximum(pv, 0), W)
-        t_lab = jnp.take_along_axis(
-            carry.blab, jnp.broadcast_to(pcols[None, :], (K, W)), axis=1
-        )
-        t_gap = jnp.take_along_axis(
-            carry.bgap, jnp.broadcast_to(pcols[None, :], (K, W)), axis=1
-        )
+        if static_window:
+            # cells - 1 with lo = 0 is just a one-column shift: pad + slice
+            negcol = jnp.full((K, 1), NEG)
+            t_lab = jnp.concatenate([negcol, carry.blab[:, : W - 1]], axis=1)
+            t_gap = jnp.concatenate([negcol, carry.bgap[:, : W - 1]], axis=1)
+        else:
+            pcols = jnp.mod(jnp.maximum(pv, 0), W)
+            t_lab = jnp.take_along_axis(
+                carry.blab, jnp.broadcast_to(pcols[None, :], (K, W)), axis=1
+            )
+            t_gap = jnp.take_along_axis(
+                carry.bgap, jnp.broadcast_to(pcols[None, :], (K, W)), axis=1
+            )
         t_ok = (pv[None, :] >= carry.boff[:, None]) & (
             pv[None, :] < carry.bend[:, None]
         )
@@ -465,15 +482,21 @@ def _make_step(
         p2m_new = _nan_clean_max(tot_new, cmask[None, None, :])  # [K, A]
 
         # circularize: built cell i is absolute t2 = lo + i -> column t2 % W
-        shift = jnp.mod(lo, W)
-        src = jnp.mod(jnp.arange(W, dtype=jnp.int32)[None, None, :] - shift, W)
-        bl_c = jnp.take_along_axis(bl_new, jnp.broadcast_to(src, (K, A, W)), axis=-1)
-        bg_c = jnp.take_along_axis(bg_new, jnp.broadcast_to(src, (K, A, W)), axis=-1)
-        valid_col = jnp.mod(
-            jnp.arange(W, dtype=jnp.int32)[None, None, :] - shift, W
-        ) < (hi - lo)
-        bl_c = jnp.where(valid_col, bl_c, NEG)
-        bg_c = jnp.where(valid_col, bg_c, NEG)
+        if static_window:
+            # shift = 0: columns are already in place
+            valid_col = jnp.arange(W, dtype=jnp.int32)[None, None, :] < (hi - lo)
+            bl_c = jnp.where(valid_col, bl_new, NEG)
+            bg_c = jnp.where(valid_col, bg_new, NEG)
+        else:
+            shift = jnp.mod(lo, W)
+            src = jnp.mod(jnp.arange(W, dtype=jnp.int32)[None, None, :] - shift, W)
+            bl_c = jnp.take_along_axis(bl_new, jnp.broadcast_to(src, (K, A, W)), axis=-1)
+            bg_c = jnp.take_along_axis(bg_new, jnp.broadcast_to(src, (K, A, W)), axis=-1)
+            valid_col = jnp.mod(
+                jnp.arange(W, dtype=jnp.int32)[None, None, :] - shift, W
+            ) < (hi - lo)
+            bl_c = jnp.where(valid_col, bl_c, NEG)
+            bg_c = jnp.where(valid_col, bg_c, NEG)
 
         # ---- candidate table: K tips then K*A fresh ----
         def cat(a_tip, a_fresh):
@@ -648,7 +671,8 @@ def _init_carry(K, W, init_state):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext", "crf"
+        "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext",
+        "crf", "static_window"
     ),
 )
 def duplex_fast_device(
@@ -668,6 +692,7 @@ def duplex_fast_device(
     Wext: int,
     needs_ext: bool,
     crf: bool,
+    static_window: bool = False,
 ):
     T1 = l1.shape[0]
     A = l1.shape[-1] - 1
@@ -682,6 +707,7 @@ def duplex_fast_device(
         l2, root_gap, jnp.asarray(length, jnp.int32),
         A=A, S=S, K=K, W=W, Wr=Wr, Wext=Wext,
         collapse=collapse_repeats, crf=crf, needs_ext=needs_ext,
+        static_window=static_window,
         thr=jnp.asarray(threshold_log, jnp.float32), T2=T2,
     )
     xs = (l1, lo, hi, jnp.arange(T1, dtype=jnp.int32))
@@ -706,6 +732,7 @@ def _prep_envelope_fast(envelope: np.ndarray, T2: int):
     lo = np.maximum(envelope[:, 0], 0).astype(np.int32)
     hi = np.minimum(envelope[:, 1], T2).astype(np.int32)
     T1 = len(lo)
+    static_window = bool(np.all(lo == 0) and np.all(hi == T2))
     W = 1
     off = 0  # lowest retained band cell across live nodes
     last_upper = 0
@@ -724,7 +751,7 @@ def _prep_envelope_fast(envelope: np.ndarray, T2: int):
         last_upper = max(last_upper, h)
         W = max(W, last_upper - off, h - l + 1)
     Wr = int(min(max(envelope[0, 1], 0), T2)) + 1 if T1 else 1
-    return lo, hi, int(W), Wr, needs_ext, int(max(Wext, 1))
+    return lo, hi, int(W), Wr, needs_ext, int(max(Wext, 1)), static_window
 
 
 def beam_search_duplex_fast_host(
@@ -738,7 +765,9 @@ def beam_search_duplex_fast_host(
 ) -> str:
     """Host wrapper: log-convert, envelope prep, kernel, string assembly."""
     T2 = net2.shape[0]
-    lo, hi, W, Wr, needs_ext, Wext = _prep_envelope_fast(envelope, T2)
+    lo, hi, W, Wr, needs_ext, Wext, static_window = _prep_envelope_fast(
+        envelope, T2
+    )
 
     with np.errstate(divide="ignore", invalid="ignore"):
         l1 = np.log(net1, dtype=np.float32)
@@ -753,6 +782,7 @@ def beam_search_duplex_fast_host(
         beam_size=int(beam_size),
         collapse_repeats=bool(collapse_repeats),
         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
+        static_window=static_window,
     )
     errors.raise_for_status(int(out["err"]))
     n = int(out["count"])
@@ -773,7 +803,9 @@ def crf_beam_search_duplex_fast_host(
     T2 = net2.shape[0]
     S = net1.shape[1]
     n_base = net1.shape[2] - 1
-    lo, hi, W, Wr, needs_ext, Wext = _prep_envelope_fast(envelope, T2)
+    lo, hi, W, Wr, needs_ext, Wext, static_window = _prep_envelope_fast(
+        envelope, T2
+    )
 
     with np.errstate(divide="ignore", invalid="ignore"):
         l1 = np.log(net1, dtype=np.float32)
@@ -795,6 +827,7 @@ def crf_beam_search_duplex_fast_host(
         beam_size=int(beam_size),
         collapse_repeats=False,
         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=True,
+        static_window=static_window,
     )
     errors.raise_for_status(int(out["err"]))
     n = int(out["count"])
@@ -805,7 +838,8 @@ def crf_beam_search_duplex_fast_host(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext", "crf"
+        "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext",
+        "crf", "static_window"
     ),
 )
 def duplex_fast_batch(
@@ -825,11 +859,13 @@ def duplex_fast_batch(
     Wext: int,
     needs_ext: bool,
     crf: bool,
+    static_window: bool = False,
 ):
     """vmap of duplex_fast_device over a batch of read pairs."""
     fn = lambda a, b, rg, l, h, s, n: duplex_fast_device(
         a, b, rg, l, h, threshold_log, s, n,
         beam_size=beam_size, collapse_repeats=collapse_repeats,
         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=crf,
+        static_window=static_window,
     )
     return jax.vmap(fn)(l1, l2, root_gap, lo, hi, init_states, lengths)

@@ -430,13 +430,15 @@ class BatchDuplexDecoder:
         W = Wr = 1
         Wext = 1
         needs_ext = False
+        static_window = True
         for b in range(B):
-            lo, hi, w, wr, ne, wx = self._ops._prep_envelope_fast(
+            lo, hi, w, wr, ne, wx, sw = self._ops._prep_envelope_fast(
                 np.asarray(envelopes[b]), T2
             )
             los[b], his[b] = lo, hi
             W, Wr, Wext = max(W, w), max(Wr, wr), max(Wext, wx)
             needs_ext = needs_ext or ne
+            static_window = static_window and sw
 
         with np.errstate(divide="ignore", invalid="ignore"):
             l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
@@ -459,6 +461,7 @@ class BatchDuplexDecoder:
                     beam_size=self.beam_size,
                     collapse_repeats=self.collapse,
                     W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
+                    static_window=static_window,
                 ),
                 mesh=self.mesh,
                 in_specs=(P(DATA_AXIS),) * 6,
