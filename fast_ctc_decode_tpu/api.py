@@ -258,7 +258,7 @@ def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) ->
     if engine is None:
         from .ops.duplex_fast import _prep_envelope_fast
 
-        needs_ext = _prep_envelope_fast(envelope, t2)[4]
+        needs_ext = _prep_envelope_fast(envelope, t2).needs_ext
         return "exact" if needs_ext else "fast"
     if engine not in ("fast", "exact"):
         raise ValueError(f"unknown engine {engine!r}")

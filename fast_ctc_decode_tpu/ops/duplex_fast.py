@@ -186,12 +186,16 @@ def _build_band_cells(pl, p0, base, mask):
 # ---------------------------------------------------------- band extension
 
 
-def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, crf):
+def _extend_one_slot(
+    carry, rootread, l2r, lo, hi, wb, sel, act, *, K, W, Wext, crf, rel
+):
     """Extend the band of the slot picked by one-hot ``sel [K]`` to hi,
     per duplex.rs:338-387 (plain) / 290-336 (CRF): discard below lo-1,
     refresh the window max, then append cells [end, hi) reading the parent
-    band copy at the previous cell.  ``l2r(t2, state) -> (p0, pl[lastlab])``
-    returns the needed log-prob entries."""
+    band copy at the previous cell.  ``l2r(t2, state, lastlab) -> (p0, pl)``
+    returns the needed log-prob entries and ``rootread(t2)`` the root band
+    gap value.  ``rel`` selects window-relative column addressing (column =
+    t2 - wb) instead of the circular t2 %% W layout."""
 
     def pick(x):
         return jnp.sum(jnp.where(sel, x, 0), axis=0)
@@ -219,8 +223,11 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, 
     off2 = jnp.where(do_discard, jnp.where(emptied, lo, lo - 1), off)
     end2 = jnp.where(do_discard & emptied, lo, end)
     t2s = jnp.arange(W, dtype=jnp.int32)
-    # window cells in absolute t2: the circular row holds [off2, end2)
-    abs_t2 = off2 + jnp.mod(t2s - jnp.mod(off2, W), W)
+    if rel:
+        abs_t2 = wb + t2s
+    else:
+        # window cells in absolute t2: the circular row holds [off2, end2)
+        abs_t2 = off2 + jnp.mod(t2s - jnp.mod(off2, W), W)
     in_win = (abs_t2 >= jnp.maximum(lo, off2)) & (abs_t2 < jnp.minimum(hi, end2))
     tot_row = ls_add(row_lab, row_gap)
     m_new = _nan_clean_max(tot_row, in_win)
@@ -230,7 +237,10 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, 
     # the parent's total (duplex.rs:323-328 vs plain duplex.rs:366-377)
     is_rep = (plastlab == lastlab) if not crf else jnp.asarray(False)
 
-    last_col = jnp.mod(jnp.maximum(end2 - 1, 0), W)
+    if rel:
+        last_col = jnp.clip(end2 - 1 - wb, 0, W - 1)
+    else:
+        last_col = jnp.mod(jnp.maximum(end2 - 1, 0), W)
     has_last = end2 > off2
     last_lab = jnp.where(has_last, row_lab[last_col], NEG)
     last_gap = jnp.where(has_last, row_gap[last_col], NEG)
@@ -242,17 +252,20 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, 
         p0, pl = l2r(t2, state, lastlab)
         # parent base at t2 - 1 from the (possibly frozen) parent copy
         pv = t2 - 1
-        pcol = jnp.mod(jnp.maximum(pv, 0), W)
+        if rel:
+            pcol = jnp.clip(pv - wb, 0, W - 1)
+        else:
+            pcol = jnp.mod(jnp.maximum(pv, 0), W)
         p_ok = (pv >= pboff) & (pv < pbend) & ~proot
         ppl = jnp.where(p_ok, pb_lab[pcol], NEG)
         ppg = jnp.where(
-            proot, _root_read(root_gap, pv, Wr), jnp.where(p_ok, pb_gap[pcol], NEG)
+            proot, rootread(pv), jnp.where(p_ok, pb_gap[pcol], NEG)
         )
         base = jnp.where(is_rep, ppg, ls_add(ppl, ppg))
         gap_n = ls_add(last_lab, last_gap) + p0
         lab_n = pl + ls_add(last_lab, base)
-        col = jnp.mod(t2, W)
-        wcol = jnp.where(a, col, W)  # W is OOB -> dropped
+        col = (t2 - wb) if rel else jnp.mod(t2, W)
+        wcol = jnp.where(a & (col >= 0) & (col < W), col, W)  # W -> dropped
         row_lab = row_lab.at[wcol].set(lab_n, mode="drop")
         row_gap = row_gap.at[wcol].set(gap_n, mode="drop")
         tot_n = ls_add(lab_n, gap_n)
@@ -301,13 +314,23 @@ def _extend_one_slot(carry, root_gap, l2r, lo, hi, sel, act, *, K, W, Wr, Wext, 
 
 def _make_step(
     l2, root_gap, length, *, A, S, K, W, Wr, Wext, collapse, crf, needs_ext,
-    static_window, thr, T2
+    static_window, rel_window, D, thr, T2
 ):
     KA = K * A
     lbl = jnp.arange(A, dtype=jnp.int32)
+    assert not (static_window and rel_window)
 
     def step(carry, xs):
-        p1row, lo, hi, t = xs
+        if rel_window:
+            # window-relative mode (monotone lower bounds): all band
+            # columns are t2 - wb with wb = cummax(lo) - 1 == lo - 1, so
+            # window indexing is static; the only data movement is a
+            # per-read slide by d = wb_t - wb_{t-1} in [0, D]
+            p1row, lo, hi, t, l2win, rootwin, d = xs
+            wb = lo - 1
+        else:
+            p1row, lo, hi, t = xs
+            wb = jnp.int32(0)  # unused
 
         in_range = t < length
         env_bad = in_range & ((lo >= hi) | (lo > carry.last_upper))
@@ -315,6 +338,23 @@ def _make_step(
         active = alive & in_range & ~env_bad
         err0 = jnp.where(alive & env_bad, errors.INVALID_ENVELOPE, carry.err)
         carry = carry._replace(err=err0.astype(jnp.int32))
+
+        if rel_window and D > 0:
+            # slide band storage left by d (vacated right columns = zero);
+            # dropped cells are below lo-1 and can never be read again
+            def slide(x):
+                out = x
+                for sft in range(1, D + 1):
+                    sh = jnp.concatenate(
+                        [x[:, sft:], jnp.full((K, sft), NEG)], axis=1
+                    )
+                    out = jnp.where(d == sft, sh, out)
+                return out
+
+            carry = carry._replace(
+                blab=slide(carry.blab), bgap=slide(carry.bgap),
+                pblab=slide(carry.pblab), pbgap=slide(carry.pbgap),
+            )
 
         if crf:
 
@@ -326,11 +366,34 @@ def _make_step(
                 )
                 return r[0], jnp.take(r, jnp.clip(lastlab, 0, A - 1) + 1)
 
+        elif rel_window:
+
+            def l2r(t2, state, lastlab):
+                # masked-reduction extraction from the step's l2 window —
+                # no gather (col is a per-read scalar)
+                col = t2 - wb
+                hit = jnp.arange(W, dtype=jnp.int32) == col
+                r = jnp.sum(
+                    jnp.where(hit[:, None], l2win, jnp.float32(0)), axis=0
+                )
+                return r[0], jnp.take(r, jnp.clip(lastlab, 0, A - 1) + 1)
+
         else:
 
             def l2r(t2, state, lastlab):
                 r = jnp.take(l2, jnp.clip(t2, 0, T2 - 1), axis=0)
                 return r[0], jnp.take(r, jnp.clip(lastlab, 0, A - 1) + 1)
+
+        if rel_window:
+
+            def rootread(t2):
+                hit = jnp.arange(W, dtype=jnp.int32) == (t2 - wb)
+                return jnp.sum(jnp.where(hit, rootwin, jnp.float32(0)))
+
+        else:
+
+            def rootread(t2):
+                return _root_read(root_gap, t2, Wr)
 
         # ---- band extension (banded envelopes only), parents before
         # children in node-id order (duplex.rs:490-522)
@@ -348,8 +411,8 @@ def _make_step(
                     & (jnp.sum(jnp.where(sel, carry.bend, 0)) < hi)
                 )
                 carry = _extend_one_slot(
-                    carry, root_gap, l2r, lo, hi, sel, act,
-                    K=K, W=W, Wr=Wr, Wext=Wext, crf=crf,
+                    carry, rootread, l2r, lo, hi, wb, sel, act,
+                    K=K, W=W, Wext=Wext, crf=crf, rel=rel_window,
                 )
         carry = carry._replace(
             last_upper=jnp.where(active, hi, carry.last_upper)
@@ -435,6 +498,11 @@ def _make_step(
             pad = jnp.broadcast_to(l2[-1:], (W - T2, A + 1)) if W > T2 else l2[:0]
             rows = jnp.concatenate([l2, pad], axis=0)  # [W, A+1], no gather
             rows = jnp.broadcast_to(rows[None], (K, W, A + 1))
+        elif rel_window:
+            # l2win column j holds the row at t2 = wb + j; cells start at
+            # col 1, so this is a static one-column shift
+            rows = jnp.concatenate([l2win[1:], l2win[-1:]], axis=0)
+            rows = jnp.broadcast_to(rows[None], (K, W, A + 1))
         else:
             rows = jnp.take(l2, jnp.clip(cells, 0, T2 - 1), axis=0)  # [W, A+1]
             rows = jnp.broadcast_to(rows[None], (K, W, A + 1))
@@ -448,6 +516,10 @@ def _make_step(
             negcol = jnp.full((K, 1), NEG)
             t_lab = jnp.concatenate([negcol, carry.blab[:, : W - 1]], axis=1)
             t_gap = jnp.concatenate([negcol, carry.bgap[:, : W - 1]], axis=1)
+        elif rel_window:
+            # pv = wb + arange(W): exactly the storage columns — no movement
+            t_lab = carry.blab
+            t_gap = carry.bgap
         else:
             pcols = jnp.mod(jnp.maximum(pv, 0), W)
             t_lab = jnp.take_along_axis(
@@ -461,7 +533,10 @@ def _make_step(
         )
         tip_is_root = carry.id == -1
         par_lab = jnp.where(t_ok & ~tip_is_root[:, None], t_lab, NEG)
-        root_g = _root_read(root_gap, pv, Wr)[None, :]
+        if rel_window:
+            root_g = rootwin[None, :]  # aligned with pv by construction
+        else:
+            root_g = _root_read(root_gap, pv, Wr)[None, :]
         par_gap = jnp.where(
             tip_is_root[:, None],
             root_g,
@@ -487,6 +562,17 @@ def _make_step(
             valid_col = jnp.arange(W, dtype=jnp.int32)[None, None, :] < (hi - lo)
             bl_c = jnp.where(valid_col, bl_new, NEG)
             bg_c = jnp.where(valid_col, bg_new, NEG)
+        elif rel_window:
+            # built cell i (t2 = lo + i) lives at column i + 1: static shift
+            wcol = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+            valid_col = (wcol >= 1) & (wcol < 1 + (hi - lo))
+            negpad = jnp.full((K, A, 1), NEG)
+            bl_c = jnp.where(
+                valid_col, jnp.concatenate([negpad, bl_new[:, :, : W - 1]], -1), NEG
+            )
+            bg_c = jnp.where(
+                valid_col, jnp.concatenate([negpad, bg_new[:, :, : W - 1]], -1), NEG
+            )
         else:
             shift = jnp.mod(lo, W)
             src = jnp.mod(jnp.arange(W, dtype=jnp.int32)[None, None, :] - shift, W)
@@ -672,7 +758,7 @@ def _init_carry(K, W, init_state):
     jax.jit,
     static_argnames=(
         "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext",
-        "crf", "static_window"
+        "crf", "static_window", "rel_window", "D"
     ),
 )
 def duplex_fast_device(
@@ -693,6 +779,8 @@ def duplex_fast_device(
     needs_ext: bool,
     crf: bool,
     static_window: bool = False,
+    rel_window: bool = False,
+    D: int = 0,
 ):
     T1 = l1.shape[0]
     A = l1.shape[-1] - 1
@@ -707,10 +795,26 @@ def duplex_fast_device(
         l2, root_gap, jnp.asarray(length, jnp.int32),
         A=A, S=S, K=K, W=W, Wr=Wr, Wext=Wext,
         collapse=collapse_repeats, crf=crf, needs_ext=needs_ext,
-        static_window=static_window,
+        static_window=static_window, rel_window=rel_window, D=D,
         thr=jnp.asarray(threshold_log, jnp.float32), T2=T2,
     )
-    xs = (l1, lo, hi, jnp.arange(T1, dtype=jnp.int32))
+    ts = jnp.arange(T1, dtype=jnp.int32)
+    if rel_window:
+        # per-step window rows, gathered ONCE outside the scan (per-step
+        # gathers of l2/root rows were the entire banded decode cost)
+        wbs = lo - 1  # monotone lo (host-checked) => wb == cummax(lo) - 1
+        cols = wbs[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        l2win_seq = jnp.take(l2, jnp.clip(cols, 0, T2 - 1), axis=0)
+        ridx = cols + 1
+        rootwin_seq = jnp.where(
+            (ridx >= 0) & (ridx < Wr),
+            jnp.take(root_gap, jnp.clip(ridx, 0, Wr - 1)),
+            NEG,
+        )
+        d_seq = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.diff(wbs)])
+        xs = (l1, lo, hi, ts, l2win_seq, rootwin_seq, d_seq)
+    else:
+        xs = (l1, lo, hi, ts)
     carry, beam_ids = jax.lax.scan(step, carry, xs)
 
     labels_rev, _, count = _traceback_positional(
@@ -722,9 +826,25 @@ def duplex_fast_device(
 # ------------------------------------------------------------- host wrappers
 
 
-def _prep_envelope_fast(envelope: np.ndarray, T2: int):
-    """Clamp the envelope and size the circular band buffers.
+class EnvPrep(NamedTuple):
+    lo: np.ndarray
+    hi: np.ndarray
+    W: int
+    Wr: int
+    needs_ext: bool
+    Wext: int
+    static_window: bool
+    rel_window: bool  # monotone lower bounds: window-relative (gather-free)
+    D: int  # max per-step lower-bound advance (slide bound)
 
+
+def _prep_envelope_fast(envelope: np.ndarray, T2: int) -> EnvPrep:
+    """Clamp the envelope and size the band buffers.
+
+    Three kernel modes, fastest first: ``static_window`` (full range — all
+    indexing static), ``rel_window`` (monotone non-decreasing lower bounds
+    — window-relative columns, per-step slides bounded by D), and the
+    general circular layout (per-step gathers; pathological envelopes).
     W must cover the widest window any band holds: windows only shrink on
     extension steps (discard_until fires when the upper bound grows,
     duplex.rs:490-522), so the host replays the off/upper evolution exactly.
@@ -733,6 +853,7 @@ def _prep_envelope_fast(envelope: np.ndarray, T2: int):
     hi = np.minimum(envelope[:, 1], T2).astype(np.int32)
     T1 = len(lo)
     static_window = bool(np.all(lo == 0) and np.all(hi == T2))
+    monotone = bool(np.all(np.diff(lo) >= 0)) if T1 > 1 else True
     W = 1
     off = 0  # lowest retained band cell across live nodes
     last_upper = 0
@@ -751,7 +872,16 @@ def _prep_envelope_fast(envelope: np.ndarray, T2: int):
         last_upper = max(last_upper, h)
         W = max(W, last_upper - off, h - l + 1)
     Wr = int(min(max(envelope[0, 1], 0), T2)) + 1 if T1 else 1
-    return lo, hi, int(W), Wr, needs_ext, int(max(Wext, 1)), static_window
+    rel = monotone and not static_window
+    if rel:
+        W = int(max(hi - lo)) + 2
+        D = int(max(np.diff(lo).max(), 0)) if T1 > 1 else 0
+    else:
+        D = 0
+    return EnvPrep(
+        lo, hi, int(W), Wr, needs_ext, int(max(Wext, 1)),
+        static_window, rel, D,
+    )
 
 
 def beam_search_duplex_fast_host(
@@ -765,24 +895,22 @@ def beam_search_duplex_fast_host(
 ) -> str:
     """Host wrapper: log-convert, envelope prep, kernel, string assembly."""
     T2 = net2.shape[0]
-    lo, hi, W, Wr, needs_ext, Wext, static_window = _prep_envelope_fast(
-        envelope, T2
-    )
+    ep = _prep_envelope_fast(envelope, T2)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         l1 = np.log(net1, dtype=np.float32)
         l2 = np.log(net2, dtype=np.float32)
         thr = np.float32(np.log(np.float32(beam_cut_threshold)))
         root_gap = np.concatenate(
-            [[np.float32(0.0)], np.cumsum(l2[: Wr - 1, 0], dtype=np.float32)]
+            [[np.float32(0.0)], np.cumsum(l2[: ep.Wr - 1, 0], dtype=np.float32)]
         ).astype(np.float32)
 
     out = duplex_fast_device(
-        l1, l2, root_gap, lo, hi, thr, np.int32(0),
+        l1, l2, root_gap, ep.lo, ep.hi, thr, np.int32(0),
         beam_size=int(beam_size),
         collapse_repeats=bool(collapse_repeats),
-        W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
-        static_window=static_window,
+        W=ep.W, Wr=ep.Wr, Wext=ep.Wext, needs_ext=ep.needs_ext, crf=False,
+        static_window=ep.static_window, rel_window=ep.rel_window, D=ep.D,
     )
     errors.raise_for_status(int(out["err"]))
     n = int(out["count"])
@@ -803,9 +931,8 @@ def crf_beam_search_duplex_fast_host(
     T2 = net2.shape[0]
     S = net1.shape[1]
     n_base = net1.shape[2] - 1
-    lo, hi, W, Wr, needs_ext, Wext, static_window = _prep_envelope_fast(
-        envelope, T2
-    )
+    ep = _prep_envelope_fast(envelope, T2)
+    lo, hi, W, Wr = ep.lo, ep.hi, ep.W, ep.Wr
 
     with np.errstate(divide="ignore", invalid="ignore"):
         l1 = np.log(net1, dtype=np.float32)
@@ -826,8 +953,8 @@ def crf_beam_search_duplex_fast_host(
         l1, l2, root_gap, lo, hi, thr, np.int32(np.argmax(init1)),
         beam_size=int(beam_size),
         collapse_repeats=False,
-        W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=True,
-        static_window=static_window,
+        W=W, Wr=Wr, Wext=ep.Wext, needs_ext=ep.needs_ext, crf=True,
+        static_window=ep.static_window,  # rel mode is plain-CTC only
     )
     errors.raise_for_status(int(out["err"]))
     n = int(out["count"])
@@ -839,7 +966,7 @@ def crf_beam_search_duplex_fast_host(
     jax.jit,
     static_argnames=(
         "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext",
-        "crf", "static_window"
+        "crf", "static_window", "rel_window", "D"
     ),
 )
 def duplex_fast_batch(
@@ -860,12 +987,14 @@ def duplex_fast_batch(
     needs_ext: bool,
     crf: bool,
     static_window: bool = False,
+    rel_window: bool = False,
+    D: int = 0,
 ):
     """vmap of duplex_fast_device over a batch of read pairs."""
     fn = lambda a, b, rg, l, h, s, n: duplex_fast_device(
         a, b, rg, l, h, threshold_log, s, n,
         beam_size=beam_size, collapse_repeats=collapse_repeats,
         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=crf,
-        static_window=static_window,
+        static_window=static_window, rel_window=rel_window, D=D,
     )
     return jax.vmap(fn)(l1, l2, root_gap, lo, hi, init_states, lengths)

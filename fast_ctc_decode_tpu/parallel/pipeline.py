@@ -429,16 +429,20 @@ class BatchDuplexDecoder:
         his = np.zeros((B, T1), np.int32)
         W = Wr = 1
         Wext = 1
+        D = 0
         needs_ext = False
         static_window = True
+        rel_window = True
         for b in range(B):
-            lo, hi, w, wr, ne, wx, sw = self._ops._prep_envelope_fast(
-                np.asarray(envelopes[b]), T2
-            )
-            los[b], his[b] = lo, hi
-            W, Wr, Wext = max(W, w), max(Wr, wr), max(Wext, wx)
-            needs_ext = needs_ext or ne
-            static_window = static_window and sw
+            ep = self._ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
+            los[b], his[b] = ep.lo, ep.hi
+            W, Wr, Wext = max(W, ep.W), max(Wr, ep.Wr), max(Wext, ep.Wext)
+            D = max(D, ep.D)
+            needs_ext = needs_ext or ep.needs_ext
+            static_window = static_window and ep.static_window
+            rel_window = rel_window and ep.rel_window
+        if static_window:
+            rel_window = False
 
         with np.errstate(divide="ignore", invalid="ignore"):
             l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
@@ -461,7 +465,7 @@ class BatchDuplexDecoder:
                     beam_size=self.beam_size,
                     collapse_repeats=self.collapse,
                     W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
-                    static_window=static_window,
+                    static_window=static_window, rel_window=rel_window, D=D,
                 ),
                 mesh=self.mesh,
                 in_specs=(P(DATA_AXIS),) * 6,

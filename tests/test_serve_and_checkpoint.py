@@ -113,3 +113,38 @@ class TestDecodeMany:
         decode_many(reads, "NACGT", beam_size=5, checkpoint_path=ckpt)
         with pytest.raises(ValueError, match="different decode parameters"):
             decode_many(reads, "NACGT", beam_size=7, checkpoint_path=ckpt)
+
+
+class TestWasmGoldens:
+    """The reference's browser-test golden values (tests/fast_ctc_wasm.test.js:
+    29-46 + tests/index.html:9-18), driven through the JSON service — the
+    direct analog of the WASM entry points it exercises."""
+
+    MATRIX = [
+        [0.0, 0.4, 0.6], [0.0, 0.3, 0.7], [0.3, 0.3, 0.4],
+        [0.4, 0.3, 0.3], [0.4, 0.3, 0.3], [0.3, 0.3, 0.4],
+        [0.1, 0.4, 0.5], [0.1, 0.5, 0.4], [0.8, 0.1, 0.1],
+        [0.1, 0.1, 0.8],
+    ]
+
+    def test_beam_golden(self):
+        req = {
+            "method": "beam_search",
+            "posteriors": [x for row in self.MATRIX for x in row],
+            "shape": [10, 3],
+            "alphabet": ["N", "A", "G"],
+            "beam_size": 5,
+            "beam_cut_threshold": 0.1,
+        }
+        out = decode_request(req)
+        assert out == {"seq": "GAGAG", "starts": [0, 1, 2, 4, 6]}
+
+    def test_viterbi_golden(self):
+        req = {
+            "method": "viterbi_search",
+            "posteriors": [x for row in self.MATRIX for x in row],
+            "shape": [10, 3],
+            "alphabet": ["N", "A", "G"],
+        }
+        out = decode_request(req)
+        assert out == {"seq": "GGAG", "starts": [0, 5, 7, 9]}
