@@ -22,7 +22,6 @@ from .alphabet import normalize_alphabet
 from .ops import beam as beam_ops
 from .ops import crf as crf_ops
 from .ops import viterbi as viterbi_ops
-from .ops.phred import phred_int_np
 
 __all__ = [
     "viterbi_search",
@@ -177,7 +176,7 @@ def crf_greedy_search(
     path = [int(i) for i in np.asarray(out["path"])[:n]]
     seq = "".join(alphabet[int(t)] for t in tokens)
     if qstring:
-        qints = phred_int_np(np.asarray(out["pvals"])[:n], qscale, qbias)
+        qints = np.asarray(out["qints"])[:n]
         seq += "".join(chr(int(q) + 33) for q in qints)
     return seq, path
 
@@ -249,17 +248,20 @@ def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) ->
     """Engine auto-selection for the duplex decoders.
 
     "fast" (ops/duplex_fast.py) is sequence-exact vs the reference whenever
-    the envelope never triggers band extension — in particular the default
-    full-range envelope — and is orders of magnitude faster.  For banded
-    envelopes it rebuilds the bands of re-derived prefixes over the current
-    window where the reference reuses stale ones, so the bit-exact
-    tree-based engine ("exact", ops/duplex.py) is the default there.
+    every step sees the *same* clamped window — in particular the default
+    full-range envelope — because then a re-derived prefix's rebuilt band is
+    value-identical to the reference's reused one.  Any envelope whose
+    window moves (lower OR upper bound) can make the fast engine rebuild
+    bands over a different window than the reference's stale ones, so those
+    default to the bit-exact tree engine ("exact", ops/duplex.py).
     """
     if engine is None:
-        from .ops.duplex_fast import _prep_envelope_fast
-
-        needs_ext = _prep_envelope_fast(envelope, t2).needs_ext
-        return "exact" if needs_ext else "fast"
+        lo = np.maximum(envelope[:, 0], 0)
+        hi = np.minimum(envelope[:, 1], t2)
+        constant_window = bool(
+            len(lo) == 0 or (np.all(lo == lo[0]) and np.all(hi == hi[0]))
+        )
+        return "fast" if constant_window else "exact"
     if engine not in ("fast", "exact"):
         raise ValueError(f"unknown engine {engine!r}")
     return engine

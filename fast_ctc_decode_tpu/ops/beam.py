@@ -139,18 +139,21 @@ def _merge_select(key, lab, gap, state, pushed, K):
     )
 
 
-def _allocate_nodes(carry: BeamCarry, needs_new, t, active, N, A, K):
+def _allocate_nodes_core(
+    node, parent, label, child, n_nodes, needs_new, active, N, A, K, time=None, t=None
+):
     """Allocate new suffix-tree nodes for ``needs_new [K, A]`` (which must
     already require a child-table miss) in reference add_node order
     (tip-major, labels ascending).  Returns (new_id [K, A] — only meaningful
     where needs_new, -1 when the budget is blown — plus updated tree fields
-    and the overflow flag)."""
+    and the overflow flag).  ``time``/``t`` record allocation steps when the
+    tree carries emit times (the 1D engines; the duplex tree does not)."""
     needs_new = needs_new & active
     flat_new = needs_new.reshape(-1)
     ranks = jnp.cumsum(flat_new.astype(jnp.int32)) - flat_new.astype(jnp.int32)
     total_new = jnp.sum(flat_new.astype(jnp.int32))
-    new_id_flat = carry.n_nodes + ranks
-    overflow = active & (carry.n_nodes + total_new > N)
+    new_id_flat = n_nodes + ranks
+    overflow = active & (n_nodes + total_new > N)
 
     new_id = jnp.where(
         needs_new & (new_id_flat.reshape(K, A) < N), new_id_flat.reshape(K, A), -1
@@ -158,20 +161,28 @@ def _allocate_nodes(carry: BeamCarry, needs_new, t, active, N, A, K):
 
     upd_ok = flat_new & (new_id_flat < N)
     scatter_idx = jnp.where(upd_ok, new_id_flat, N)  # index N is OOB -> dropped
-    tip_flat = jnp.broadcast_to(carry.node[:, None], (K, A)).reshape(-1)
+    tip_flat = jnp.broadcast_to(node[:, None], (K, A)).reshape(-1)
     lbl_flat = jnp.broadcast_to(
         jnp.arange(A, dtype=jnp.int32)[None, :], (K, A)
     ).reshape(-1)
 
-    parent = carry.parent.at[scatter_idx].set(tip_flat, mode="drop")
-    label = carry.label.at[scatter_idx].set(lbl_flat, mode="drop")
-    time = carry.time.at[scatter_idx].set(t.astype(jnp.int32), mode="drop")
+    parent = parent.at[scatter_idx].set(tip_flat, mode="drop")
+    label = label.at[scatter_idx].set(lbl_flat, mode="drop")
+    if time is not None:
+        time = time.at[scatter_idx].set(t.astype(jnp.int32), mode="drop")
     crow = jnp.where(upd_ok, tip_flat + 1, N + 1)  # row N+1 is OOB -> dropped
-    child = carry.child.at[crow, lbl_flat].set(new_id_flat, mode="drop")
+    child = child.at[crow, lbl_flat].set(new_id_flat, mode="drop")
     n_nodes = jnp.where(
-        active, jnp.minimum(carry.n_nodes + total_new, N), carry.n_nodes
+        active, jnp.minimum(n_nodes + total_new, N), n_nodes
     )
     return new_id, parent, label, time, child, n_nodes, overflow
+
+
+def _allocate_nodes(carry: BeamCarry, needs_new, t, active, N, A, K):
+    return _allocate_nodes_core(
+        carry.node, carry.parent, carry.label, carry.child, carry.n_nodes,
+        needs_new, active, N, A, K, time=carry.time, t=t,
+    )
 
 
 def _finish_step(carry, merged, overflow, active, renorm=True):

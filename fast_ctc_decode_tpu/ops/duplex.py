@@ -50,26 +50,14 @@ import jax
 import jax.numpy as jnp
 
 from .. import errors
-from .beam import _shift_down, _shift_up, _traceback
+from .beam import _allocate_nodes_core, _shift_down, _shift_up, _traceback
 
 NEG = jnp.float32(-jnp.inf)
 _I32_MAX = np.iinfo(np.int32).max
 
-
-def ls_add(a, b):
-    """LogSpace + (logsumexp) with reference operand ordering (duplex.rs:42-63)."""
-    cond = a <= b
-    big = jnp.where(cond, b, a)
-    small = jnp.where(cond, a, b)
-    return jnp.where(
-        small == NEG, big, big + jnp.log1p(jnp.exp(small - big))
-    )
-
-
-def ls_max(m, t):
-    """LogSpace::max — returns other only when self < other, so NaN in `t`
-    never replaces m and an accumulated m is kept (duplex.rs:33-39)."""
-    return jnp.where(m < t, t, m)
+# the reference-ordering log-space primitives are shared with the fast
+# engine so the two duplex engines can never drift apart
+from .duplex_fast import ls_add, ls_max  # noqa: E402
 
 
 class DuplexCarry(NamedTuple):
@@ -322,29 +310,11 @@ def _duplex_merge_select(key, p1l, p1g, p2m, state, pushed, bmax, K, N):
 
 
 def _alloc_nodes_duplex(carry, needs_new, N, A, K, active):
-    """Node allocation in add_node order; returns new_id [K, A] and updated
-    parent/label/child/n_nodes + overflow flag."""
-    needs_new = needs_new & active
-    flat_new = needs_new.reshape(-1)
-    ranks = jnp.cumsum(flat_new.astype(jnp.int32)) - flat_new.astype(jnp.int32)
-    total_new = jnp.sum(flat_new.astype(jnp.int32))
-    new_id_flat = carry.n_nodes + ranks
-    overflow = active & (carry.n_nodes + total_new > N)
-    new_id = jnp.where(
-        needs_new & (new_id_flat.reshape(K, A) < N), new_id_flat.reshape(K, A), -1
-    )
-    upd_ok = flat_new & (new_id_flat < N)
-    scatter_idx = jnp.where(upd_ok, new_id_flat, N)
-    tip_flat = jnp.broadcast_to(carry.node[:, None], (K, A)).reshape(-1)
-    lbl_flat = jnp.broadcast_to(
-        jnp.arange(A, dtype=jnp.int32)[None, :], (K, A)
-    ).reshape(-1)
-    parent = carry.parent.at[scatter_idx].set(tip_flat, mode="drop")
-    label = carry.label.at[scatter_idx].set(lbl_flat, mode="drop")
-    crow = jnp.where(upd_ok, tip_flat + 1, N + 1)
-    child = carry.child.at[crow, lbl_flat].set(new_id_flat, mode="drop")
-    n_nodes = jnp.where(
-        active, jnp.minimum(carry.n_nodes + total_new, N), carry.n_nodes
+    """Node allocation in add_node order (shared core with the 1D engine;
+    the duplex tree carries no emit times)."""
+    new_id, parent, label, _, child, n_nodes, overflow = _allocate_nodes_core(
+        carry.node, carry.parent, carry.label, carry.child, carry.n_nodes,
+        needs_new, active, N, A, K,
     )
     return new_id, parent, label, child, n_nodes, overflow
 

@@ -659,10 +659,14 @@ def _make_step(
         picked_proot = []
         picked_valid = []
         rows_blab, rows_bgap, rows_pblab, rows_pbgap = [], [], [], []
+        # validity is tracked explicitly, NOT via key > -inf: a -inf score
+        # is a legitimate zero-probability hypothesis in log space (e.g. an
+        # all-zero posterior row) and the reference keeps it in the beam
+        remaining = c_valid
         for _ in range(K):
-            mx = jnp.max(key)
-            slot_valid = mx > NEG
-            at_mx = key == mx
+            mx = jnp.max(jnp.where(remaining, key, NEG))
+            slot_valid = jnp.any(remaining)
+            at_mx = remaining & (key == mx)
             sid = jnp.min(jnp.where(at_mx, c_id, _I32_MAX))
             chosen = at_mx & (c_id == sid)
             for name, (arr, zero) in sel_scalars.items():
@@ -674,7 +678,7 @@ def _make_step(
             rows_bgap.append(jnp.sum(jnp.where(ch, c_bgap, jnp.float32(0)), axis=0))
             rows_pblab.append(jnp.sum(jnp.where(ch, c_pblab, jnp.float32(0)), axis=0))
             rows_pbgap.append(jnp.sum(jnp.where(ch, c_pbgap, jnp.float32(0)), axis=0))
-            key = jnp.where(chosen, NEG, key)
+            remaining = remaining & ~chosen
 
         v_k = jnp.stack(picked_valid)
         sv = {k: jnp.stack(vs) for k, vs in picked.items()}

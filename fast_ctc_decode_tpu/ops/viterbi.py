@@ -105,8 +105,7 @@ def viterbi_device(
     packed = order  # first n entries are the emitting frames in order
     path = jnp.where(jnp.arange(T) < n, packed, 0).astype(jnp.int32)
     tokens = jnp.take(labels, path)
-    qints = jnp.take(qints_by_seg, jnp.arange(T, dtype=jnp.int32))
-    return {"tokens": tokens, "path": path, "qints": qints, "n": n}
+    return {"tokens": tokens, "path": path, "qints": qints_by_seg, "n": n}
 
 
 # Batched variant: probs [B, T, A], lengths [B].

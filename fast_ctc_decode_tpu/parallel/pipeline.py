@@ -415,7 +415,8 @@ class BatchDuplexDecoder:
                     [np.asarray(lengths), np.zeros((pad,), np.int32)]
                 )
         B = net1.shape[0]
-        if envelopes is None:
+        shared_env = envelopes is None
+        if shared_env:
             env = np.zeros((T1, 2), np.int64)
             env[:, 1] = T2
             envelopes = np.broadcast_to(env, (B, T1, 2))
@@ -424,7 +425,8 @@ class BatchDuplexDecoder:
             if pad:
                 lengths[B0:] = 0
 
-        # host prep per pair; static W/Wr/Wext are batch maxima
+        # host prep per pair (once when all pairs share the default
+        # envelope); static W/Wr/Wext are batch maxima
         los = np.zeros((B, T1), np.int32)
         his = np.zeros((B, T1), np.int32)
         W = Wr = 1
@@ -433,7 +435,7 @@ class BatchDuplexDecoder:
         needs_ext = False
         static_window = True
         rel_window = True
-        for b in range(B):
+        for b in range(1 if shared_env else B):
             ep = self._ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
             los[b], his[b] = ep.lo, ep.hi
             W, Wr, Wext = max(W, ep.W), max(Wr, ep.Wr), max(Wext, ep.Wext)
@@ -441,6 +443,9 @@ class BatchDuplexDecoder:
             needs_ext = needs_ext or ep.needs_ext
             static_window = static_window and ep.static_window
             rel_window = rel_window and ep.rel_window
+        if shared_env:
+            los[:] = los[0]
+            his[:] = his[0]
         if static_window:
             rel_window = False
 

@@ -174,3 +174,35 @@ class TestFastDuplexBatch:
                 nets[i][0], nets[i][1], "NACG", engine="fast"
             )
             assert seq == want, i
+
+
+class TestReviewRegressions:
+    def test_auto_engine_moving_window_is_exact(self):
+        # advancing lower bound + constant upper bound: the fast engine's
+        # band rebuilds deviate from the reference, so auto must pick exact
+        from fast_ctc_decode_tpu.api import _pick_duplex_engine
+
+        T1, T2 = 20, 24
+        env = np.zeros((T1, 2), np.int64)
+        env[:, 1] = T2
+        for i in range(T1):
+            env[i, 0] = max(0, (i * T2) // T1 - 2)
+        assert _pick_duplex_engine(None, env, T2) == "exact"
+        for seed in (4, 11):
+            p1 = random_data(T1, 4, seed)
+            p2 = random_data(T2, 4, seed + 60)
+            auto = beam_search_duplex(p1, p2, "NACG", envelope=env)
+            exact = beam_search_duplex(
+                p1, p2, "NACG", envelope=env, engine="exact"
+            )
+            assert auto == exact
+
+    def test_zero_probability_rows_survive_fast_engine(self):
+        # a -inf log score is a legitimate hypothesis; the fast top-K must
+        # not treat it as an empty slot (reference keeps zero-prob entries)
+        p1 = random_data(8, 4, 7)
+        p2 = random_data(8, 4, 8)
+        p1[3, :] = 0.0  # masked frame
+        f = beam_search_duplex(p1, p2, "NACG", engine="fast")
+        e = beam_search_duplex(p1, p2, "NACG", engine="exact")
+        assert f == e
