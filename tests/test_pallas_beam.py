@@ -65,3 +65,11 @@ class TestPallasBitParity:
         errs = np.asarray(got["err"])
         assert errs[1] == errors.INCOMPARABLE_VALUES
         assert errs[2] == errors.RAN_OUT_OF_BEAM
+
+
+@pytest.mark.parametrize("beam_size", [8, 12, 16])
+def test_pallas_wide_beams(beam_size):
+    # beam sizes spanning multiple sublane tiles (KP = 8, 16)
+    probs = rand_batch(3, 30, 5, seed=5)
+    lengths = np.full((3,), 30, np.int32)
+    assert_same(*run_both(probs, lengths, 0.0, beam_size=beam_size))
