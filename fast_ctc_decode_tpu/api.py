@@ -111,10 +111,27 @@ def beam_search(
     collapse_repeats: bool = True,
     *,
     max_nodes: Optional[int] = None,
+    engine: Optional[str] = None,
 ) -> Tuple[str, List[int]]:
     """CTC prefix beam search; parity with src/lib.rs:323-365 /
-    src/search.rs:159-301.  ``max_nodes`` is an extension: the device-side
-    suffix-tree budget (defaults to the worst case for the input length)."""
+    src/search.rs:159-301.
+
+    ``engine`` selects the device kernel:
+      - "exact" (default): flattened-suffix-tree engine (ops/beam.py) —
+        bit-exact sequence, path, and tie-break parity with the Rust
+        reference; honours ``max_nodes`` (the device-side tree budget,
+        defaulting to the worst case for the input length).
+      - "fast": hash-identity engine (ops/beam_fast.py) — identical
+        *sequences*, orders of magnitude faster on long reads; ``path``
+        entries for prefixes that were pruned from the beam and later
+        re-derived report their latest creation time instead of the first
+        (this shows up on engineered fixtures — e.g. the reference's 10x3
+        WASM golden — so it cannot be the parity default), and exact float
+        ties can break differently.  Use it (or the batch pipeline, which
+        defaults to the even faster fused Pallas kernel) when throughput
+        matters and reference path parity does not.
+    Combining ``max_nodes`` with ``engine="fast"`` is an error (only the
+    exact engine has a node budget)."""
     alphabet = normalize_alphabet(alphabet)
     network_output = _as_f32(network_output, 2, "network_output")
     if len(alphabet) != network_output.shape[1]:
@@ -127,17 +144,34 @@ def beam_search(
     T, A1 = network_output.shape
     if T == 0:
         return "", []
-    if max_nodes is None:
-        max_nodes = beam_ops.default_max_nodes(T, beam_size, A1 - 1)
+    if engine is None:
+        engine = "exact"
 
-    out = beam_ops.beam_search_device(
-        network_output,
-        np.int32(T),
-        np.float32(beam_cut_threshold),
-        beam_size=int(beam_size),
-        collapse_repeats=bool(collapse_repeats),
-        max_nodes=int(max_nodes),
-    )
+    if engine == "fast":
+        if max_nodes is not None:
+            raise ValueError("max_nodes requires engine='exact'")
+        from .ops import beam_fast as beam_fast_ops
+
+        out = beam_fast_ops.beam_search_fast_device(
+            network_output,
+            np.int32(T),
+            np.float32(beam_cut_threshold),
+            beam_size=int(beam_size),
+            collapse_repeats=bool(collapse_repeats),
+        )
+    elif engine == "exact":
+        if max_nodes is None:
+            max_nodes = beam_ops.default_max_nodes(T, beam_size, A1 - 1)
+        out = beam_ops.beam_search_device(
+            network_output,
+            np.int32(T),
+            np.float32(beam_cut_threshold),
+            beam_size=int(beam_size),
+            collapse_repeats=bool(collapse_repeats),
+            max_nodes=int(max_nodes),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     return _beam_result_to_seq_path(
         {k: np.asarray(v) for k, v in out.items()}, alphabet
     )
@@ -244,7 +278,12 @@ def crf_beam_search(
     )
 
 
-def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) -> str:
+def _pick_duplex_engine(
+    engine: Optional[str],
+    envelope: np.ndarray,
+    t2: int,
+    max_nodes: Optional[int] = None,
+) -> str:
     """Engine auto-selection for the duplex decoders.
 
     "fast" (ops/duplex_fast.py) is sequence-exact vs the reference whenever
@@ -254,8 +293,13 @@ def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) ->
     window moves (lower OR upper bound) can make the fast engine rebuild
     bands over a different window than the reference's stale ones, so those
     default to the bit-exact tree engine ("exact", ops/duplex.py).
+
+    An explicitly supplied ``max_nodes`` (the exact engine's tree budget)
+    also forces "exact" rather than being silently ignored.
     """
     if engine is None:
+        if max_nodes is not None:
+            return "exact"
         lo = np.maximum(envelope[:, 0], 0)
         hi = np.minimum(envelope[:, 1], t2)
         constant_window = bool(
@@ -264,6 +308,8 @@ def _pick_duplex_engine(engine: Optional[str], envelope: np.ndarray, t2: int) ->
         return "fast" if constant_window else "exact"
     if engine not in ("fast", "exact"):
         raise ValueError(f"unknown engine {engine!r}")
+    if engine == "fast" and max_nodes is not None:
+        raise ValueError("max_nodes requires engine='exact'")
     return engine
 
 
@@ -295,7 +341,7 @@ def beam_search_duplex(
     _check_beam_args(alphabet, beam_size, beam_cut_threshold)
     envelope = _check_envelope(envelope, network_output_1, network_output_2)
 
-    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0])
+    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0], max_nodes)
     if engine == "fast":
         from .ops import duplex_fast as duplex_fast_ops
 
@@ -352,7 +398,7 @@ def crf_beam_search_duplex(
     _check_beam_args(alphabet, beam_size, beam_cut_threshold)
     envelope = _check_envelope(envelope, network_output_1, network_output_2)
 
-    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0])
+    engine = _pick_duplex_engine(engine, envelope, network_output_2.shape[0], max_nodes)
     if engine == "fast":
         from .ops import duplex_fast as duplex_fast_ops
 

@@ -193,17 +193,21 @@ class BatchViterbiDecoder:
         return self._fn(probs, lengths)
 
     def decode(self, probs, lengths, qstring: bool = False):
+        from ..native import detokenize_batch, qstrings_batch
+
         out = jax.device_get(self.decode_arrays(probs, lengths))
-        res = []
-        for tokens, path, qints, n in zip(
-            out["tokens"], out["path"], out["qints"], out["n"]
-        ):
-            n = int(n)
-            seq = "".join(self.alphabet[int(t)] for t in tokens[:n])
-            if qstring:
-                seq += "".join(chr(int(q) + 33) for q in qints[:n])
-            res.append((seq, [int(i) for i in path[:n]]))
-        return res
+        counts = np.asarray(out["n"], np.int32)
+        # viterbi tokens are 1-based alphabet rows: index the full alphabet
+        seqs = detokenize_batch(
+            np.asarray(out["tokens"]), counts, self.alphabet, reverse=False
+        )
+        if qstring:
+            qstrs = qstrings_batch(np.asarray(out["qints"], np.uint32), counts)
+            seqs = [s + q for s, q in zip(seqs, qstrs)]
+        return [
+            (seq, [int(i) for i in path[: int(n)]])
+            for seq, path, n in zip(seqs, out["path"], counts)
+        ]
 
 
 def decode_and_count(
@@ -241,6 +245,20 @@ def decode_and_count(
     return jax.jit(fn)(probs, lengths)
 
 
+def _auto_bucket_edges(lengths: Sequence[int], min_edge: int = 128) -> List[int]:
+    """Power-of-two length-bucket edges covering ``lengths``: padding waste
+    is bounded at 2x per read while the number of compiled kernels stays
+    logarithmic in the length range."""
+    mx = max(lengths)
+    edges = []
+    e = min_edge
+    while e < mx:
+        edges.append(e)
+        e *= 2
+    edges.append(mx)
+    return edges
+
+
 def decode_many(
     reads: Sequence[np.ndarray],
     alphabet,
@@ -250,55 +268,78 @@ def decode_many(
     collapse_repeats: bool = True,
     batch_size: int = 256,
     T: Optional[int] = None,
+    bucket_edges: Optional[Sequence[int]] = None,
     mesh=None,
     engine: str = "fast",
     checkpoint_path: Optional[str] = None,
 ) -> List[Tuple[str, List[int], int]]:
     """Decode a long list of variable-length reads with checkpoint/resume.
 
-    Reads are padded to a common T (max length unless given), processed in
-    fixed ``batch_size`` device batches over the data mesh, and the
-    (sequence, path, err) results are persisted after every batch via
-    ``utils.checkpoint.DecodeCheckpoint`` — a preempted run restarted with
-    the same ``checkpoint_path`` resumes at the first undecoded read.
+    Reads are grouped into length buckets (``bucket_edges``; auto power-of-2
+    edges unless ``T`` pins a single bucket), so mixed 100-10,000-frame read
+    sets pay bounded (≤2x) padding waste with one compiled kernel per bucket
+    instead of padding everything to the global max.  Each bucket is decoded
+    in fixed ``batch_size`` device batches over the data mesh (final partial
+    batches are padded with length-0 dummy reads, not duplicate decodes) and
+    results are appended to the JSONL checkpoint per batch — a preempted run
+    restarted with the same ``checkpoint_path`` resumes at exactly the
+    undecoded reads.  Results are returned in input order.
     """
     from ..utils.checkpoint import DecodeCheckpoint
-    from ..utils.padding import pad_batch
+    from ..utils.padding import bucket_reads
 
-    if T is None:
-        T = max((r.shape[0] for r in reads), default=0)
+    if not reads:
+        return []
+    if T is not None:
+        edges = [int(T)]
+    elif bucket_edges is not None:
+        edges = sorted(int(e) for e in bucket_edges)
+    else:
+        edges = _auto_bucket_edges([r.shape[0] for r in reads])
     meta = {
-        "n_reads": len(reads),
-        "T": int(T),
+        "bucket_edges": edges,
         "beam_size": int(beam_size),
         "beam_cut_threshold": float(beam_cut_threshold),
         "collapse_repeats": bool(collapse_repeats),
         "engine": engine,
     }
     ckpt = DecodeCheckpoint.load_or_create(checkpoint_path, meta)
-    if ckpt.cursor >= len(reads):
-        return ckpt.results
+    try:
+        if ckpt.cursor >= len(reads):
+            return ckpt.results_in_order(len(reads))
 
-    dec = BatchBeamDecoder(
-        alphabet,
-        T=T,
-        beam_size=beam_size,
-        beam_cut_threshold=beam_cut_threshold,
-        collapse_repeats=collapse_repeats,
-        mesh=mesh,
-        engine=engine,
-    )
-    n_dev = len(dec.mesh.devices.reshape(-1))
-    batch_size = max(batch_size - batch_size % n_dev, n_dev)
-
-    while ckpt.cursor < len(reads):
-        chunk = reads[ckpt.cursor : ckpt.cursor + batch_size]
-        n = len(chunk)
-        # pad the final partial batch up to a full device batch
-        padded = list(chunk) + [chunk[-1]] * (batch_size - n)
-        probs, lengths = pad_batch(padded, T=T)
-        ckpt.extend(dec.decode(probs, lengths), n)
-    return ckpt.results
+        buckets = bucket_reads(reads, edges)
+        A1 = reads[0].shape[1]
+        for edge, idxs in sorted(buckets.items()):
+            todo = [i for i in idxs if i not in ckpt.done]
+            if not todo:
+                continue
+            dec = BatchBeamDecoder(
+                alphabet,
+                T=edge,
+                beam_size=beam_size,
+                beam_cut_threshold=beam_cut_threshold,
+                collapse_repeats=collapse_repeats,
+                mesh=mesh,
+                engine=engine,
+            )
+            n_dev = len(dec.mesh.devices.reshape(-1))
+            bs = max(batch_size - batch_size % n_dev, n_dev)
+            for s in range(0, len(todo), bs):
+                chunk = todo[s : s + bs]
+                n = len(chunk)
+                # partial batches ride length-0 padding rows (decoded as
+                # empty in O(1) work), never duplicate decodes
+                probs = np.zeros((bs, edge, A1), np.float32)
+                lengths = np.zeros((bs,), np.int32)
+                for j, i in enumerate(chunk):
+                    r = reads[i]
+                    probs[j, : r.shape[0]] = r
+                    lengths[j] = r.shape[0]
+                ckpt.record(chunk, dec.decode(probs, lengths)[:n])
+        return ckpt.results_in_order(len(reads))
+    finally:
+        ckpt.close()
 
 
 class BatchCrfBeamDecoder:

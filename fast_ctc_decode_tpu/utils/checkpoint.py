@@ -2,10 +2,18 @@
 
 The reference has no checkpointing (decodes are single short calls —
 SURVEY.md §5); a TPU pipeline streaming millions of reads needs resumable
-iteration.  State is deliberately tiny — a cursor plus the already-decoded
-outputs — saved atomically (write-to-temp + rename) as JSON after every
-batch, so a preempted job resumes exactly where it stopped without
-re-decoding.
+iteration.  The on-disk format is append-only JSONL so checkpoint cost is
+O(batch) per batch (not O(total) — rewriting the whole result set after
+every batch would make checkpointing quadratic and eventually dominate
+decode time):
+
+    {"meta": {...}}                               # header line
+    {"i": [7, 8, 9], "r": [[seq, path, err], …]}  # one line per batch
+
+Each batch line records explicit read *indices*, so out-of-order
+processing (length-bucketed decode) resumes exactly.  Lines are flushed +
+fsynced per batch; a crash mid-write leaves at most one truncated trailing
+line, which ``load_or_create`` drops.
 
 Used by ``parallel.pipeline.decode_many``.
 """
@@ -14,58 +22,80 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
+
+Result = Tuple[str, List[int], int]
 
 
 @dataclass
 class DecodeCheckpoint:
-    """Cursor + accumulated per-read results for a resumable decode run."""
+    """Append-only (index -> result) log for a resumable decode run."""
 
     path: Optional[str]
-    cursor: int = 0
-    results: List[Tuple[str, List[int], int]] = field(default_factory=list)
     meta: Dict = field(default_factory=dict)
+    done: Dict[int, Result] = field(default_factory=dict)
+    _fh: object = None
 
     @classmethod
     def load_or_create(cls, path: Optional[str], meta: Optional[Dict] = None):
         """Resume from ``path`` when it exists (validating ``meta`` —
         resuming with different decode params is an error), else start."""
         meta = meta or {}
+        ckpt = cls(path=path, meta=meta)
         if path is not None and os.path.exists(path):
             with open(path) as f:
-                d = json.load(f)
-            if meta and d.get("meta") != meta:
-                raise ValueError(
-                    f"checkpoint {path} was written with different decode "
-                    f"parameters: {d.get('meta')} != {meta}"
-                )
-            return cls(
-                path=path,
-                cursor=int(d["cursor"]),
-                results=[tuple(r) for r in d["results"]],
-                meta=d.get("meta", {}),
-            )
-        return cls(path=path, meta=meta)
+                lines = f.read().splitlines()
+            if lines:
+                header = json.loads(lines[0])
+                if meta and header.get("meta") != meta:
+                    raise ValueError(
+                        f"checkpoint {path} was written with different decode "
+                        f"parameters: {header.get('meta')} != {meta}"
+                    )
+                ckpt.meta = header.get("meta", meta)
+                for line in lines[1:]:
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # truncated trailing line from a crash
+                    for i, r in zip(d["i"], d["r"]):
+                        ckpt.done[int(i)] = (r[0], list(r[1]), int(r[2]))
+        return ckpt
 
-    def extend(self, batch_results: List[Tuple[str, List[int], int]], n: int):
-        """Record ``n`` newly decoded reads and persist."""
-        self.results.extend(batch_results[:n])
-        self.cursor += n
-        self.save()
+    @property
+    def cursor(self) -> int:
+        """Number of reads already decoded."""
+        return len(self.done)
 
-    def save(self):
-        if self.path is None:
-            return
-        d = {"cursor": self.cursor, "results": self.results, "meta": self.meta}
-        dirname = os.path.dirname(os.path.abspath(self.path))
-        os.makedirs(dirname, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".ckpt.tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(d, f)
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+    def _open(self):
+        if self._fh is None and self.path is not None:
+            dirname = os.path.dirname(os.path.abspath(self.path))
+            os.makedirs(dirname, exist_ok=True)
+            fresh = not os.path.exists(self.path)
+            self._fh = open(self.path, "a")
+            if fresh or os.path.getsize(self.path) == 0:
+                self._fh.write(json.dumps({"meta": self.meta}) + "\n")
+                self._fh.flush()
+        return self._fh
+
+    def record(self, indices: Sequence[int], batch_results: Sequence[Result]):
+        """Record one decoded batch (appends ONE line: O(batch) I/O)."""
+        indices = [int(i) for i in indices]
+        batch_results = [tuple(r) for r in batch_results]
+        for i, r in zip(indices, batch_results):
+            self.done[i] = r
+        fh = self._open()
+        if fh is not None:
+            fh.write(json.dumps({"i": indices, "r": batch_results}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def results_in_order(self, n: int) -> List[Result]:
+        """The first ``n`` results by read index (raises if any is missing)."""
+        return [self.done[i] for i in range(n)]
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

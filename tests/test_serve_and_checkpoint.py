@@ -53,6 +53,79 @@ class TestServe:
         assert out["seq"] == seq == "GGAG"
         assert out["starts"] == starts
 
+    def test_batch_request_matches_api(self):
+        reads = [rand_read(20, 5, s) for s in range(5)]
+        x = np.stack(reads)
+        req = {
+            "method": "beam_search",
+            "posteriors": x.reshape(-1).tolist(),
+            "shape": [5, 20, 5],
+            "alphabet": ["N", "A", "C", "G", "T"],
+            "beam_size": 5,
+            "beam_cut_threshold": 0.1,
+        }
+        out = decode_request(req)
+        assert len(out["results"]) == 5
+        # batch requests ride the pipeline's fast engine: sequences match
+        # the reference exactly; compare paths against the same engine
+        for r, read in zip(out["results"], reads):
+            seq, starts = beam_search(read, "NACGT", 5, 0.1, engine="fast")
+            assert (r["seq"], r["starts"], r["err"]) == (seq, starts, 0)
+
+    def test_batch_viterbi_with_qstring(self):
+        reads = [rand_read(16, 5, s) for s in range(3)]
+        x = np.stack(reads)
+        req = {
+            "method": "viterbi_search",
+            "posteriors": x.reshape(-1).tolist(),
+            "shape": [3, 16, 5],
+            "alphabet": "NACGT",
+            "qstring": True,
+        }
+        out = decode_request(req)
+        for r, read in zip(out["results"], reads):
+            seq, starts = viterbi_search(read, "NACGT", qstring=True)
+            assert (r["seq"], r["starts"]) == (seq, starts)
+
+    def test_http_status_codes(self):
+        from fast_ctc_decode_tpu.serve import handle_json
+
+        x = rand_read(10, 5, 1)
+        good = json.dumps(
+            {
+                "method": "beam_search",
+                "posteriors": x.reshape(-1).tolist(),
+                "shape": [10, 5],
+                "alphabet": "NACGT",
+            }
+        )
+        _, code = handle_json(good)
+        assert code == 200
+        # input errors are 400 (typed, not string-sniffed)
+        for bad in (
+            "not json",
+            '{"method": "nope", "shape": [1, 2], "posteriors": [0.5, 0.5], "alphabet": "NA"}',
+            '{"shape": [10, 5]}',  # KeyError: posteriors
+        ):
+            body, code = handle_json(bad)
+            assert code == 400
+            assert "error" in json.loads(body)
+        # a NaN posterior surfaces the reference's RuntimeError as 400
+        # (NaN must sit on a *label* column to enter the beam; a NaN blank
+        # fails the > threshold push test in the reference too)
+        xn = np.full((10, 5), np.nan, np.float32)
+        nan_req = json.dumps(
+            {
+                "method": "beam_search",
+                "posteriors": xn.reshape(-1).tolist(),
+                "shape": [10, 5],
+                "alphabet": "NACGT",
+            }
+        )
+        body, code = handle_json(nan_req)
+        assert code == 400
+        assert "Failed to compare values" in json.loads(body)["error"]
+
     def test_json_roundtrip_and_errors(self):
         x = rand_read(10, 5, 1)
         req = json.dumps(
@@ -75,41 +148,65 @@ class TestServe:
 class TestDecodeMany:
     def test_resume_from_checkpoint(self, tmp_path):
         reads = [rand_read(t, 5, i) for i, t in enumerate([30, 17, 30, 9, 25])]
-        ckpt = str(tmp_path / "run.json")
+        ckpt = str(tmp_path / "run.jsonl")
 
         full = decode_many(
             reads, "NACGT", beam_size=5, beam_cut_threshold=0.1,
-            batch_size=16, checkpoint_path=None,
+            batch_size=16, T=30, checkpoint_path=None,
         )
-        # simulate preemption: decode only the first batch, then resume
-        partial = decode_many(
+        # simulate preemption: decode only the first two reads, then resume
+        # over the full list — indices 0/1 must come from the checkpoint
+        decode_many(
             reads[:2], "NACGT", beam_size=5, beam_cut_threshold=0.1,
-            batch_size=16, checkpoint_path=ckpt,
+            batch_size=16, T=30, checkpoint_path=ckpt,
         )
-        # hack the cursor back into a mid-run state for the full read list
-        with open(ckpt) as f:
-            d = json.load(f)
-        d["meta"]["n_reads"] = len(reads)
-        with open(ckpt, "w") as f:
-            json.dump(d, f)
-
         resumed = decode_many(
             reads, "NACGT", beam_size=5, beam_cut_threshold=0.1,
-            batch_size=16, checkpoint_path=ckpt,
+            batch_size=16, T=30, checkpoint_path=ckpt,
         )
         assert [r[0] for r in resumed] == [r[0] for r in full]
         # already-complete checkpoint returns without decoding
         again = decode_many(
             reads, "NACGT", beam_size=5, beam_cut_threshold=0.1,
-            batch_size=16, checkpoint_path=ckpt,
+            batch_size=16, T=30, checkpoint_path=ckpt,
         )
         assert [tuple(r) for r in again] == [tuple(r) for r in resumed]
+        # the checkpoint is JSONL: header + one line per batch (O(batch)
+        # appends, not a rewrite of the whole result set)
+        with open(ckpt) as f:
+            lines = f.read().splitlines()
+        assert json.loads(lines[0])["meta"]["beam_size"] == 5
+        assert all("i" in json.loads(l) for l in lines[1:])
+
+    def test_truncated_trailing_line_tolerated(self, tmp_path):
+        reads = [rand_read(20, 5, i) for i in range(3)]
+        ckpt = str(tmp_path / "run.jsonl")
+        decode_many(reads, "NACGT", T=20, checkpoint_path=ckpt)
+        full = decode_many(reads, "NACGT", T=20, checkpoint_path=ckpt)
+        # simulate a crash mid-append: garbage partial line at the end
+        with open(ckpt, "a") as f:
+            f.write('{"i": [99], "r"')
+        again = decode_many(reads, "NACGT", T=20, checkpoint_path=ckpt)
+        assert [r[0] for r in again] == [r[0] for r in full]
+
+    def test_bucketing_matches_single_bucket(self, tmp_path):
+        # mixed lengths spanning several power-of-2 buckets
+        lens = [10, 100, 140, 257, 30, 512, 33]
+        reads = [rand_read(t, 5, i) for i, t in enumerate(lens)]
+        one_bucket = decode_many(
+            reads, "NACGT", beam_cut_threshold=0.1, T=512, batch_size=8
+        )
+        bucketed = decode_many(
+            reads, "NACGT", beam_cut_threshold=0.1, batch_size=8
+        )
+        assert [r[0] for r in bucketed] == [r[0] for r in one_bucket]
+        assert [r[1] for r in bucketed] == [r[1] for r in one_bucket]
 
     def test_mismatched_params_rejected(self, tmp_path):
         import pytest
 
         reads = [rand_read(10, 5, 0)]
-        ckpt = str(tmp_path / "run.json")
+        ckpt = str(tmp_path / "run.jsonl")
         decode_many(reads, "NACGT", beam_size=5, checkpoint_path=ckpt)
         with pytest.raises(ValueError, match="different decode parameters"):
             decode_many(reads, "NACGT", beam_size=7, checkpoint_path=ckpt)
