@@ -271,13 +271,18 @@ def _duplex_kernel(
                     rootval(pv0),
                     jnp.where(p_ok, band_col(pbgap_ref, c0), NEG),
                 )
-                if collapse:
-                    is_rep = pll_ref[:] == llv
-                else:
-                    is_rep = jnp.zeros((KP, Bt), bool)
+                # extension's repeat flag is raw parent/child label equality,
+                # NOT gated on collapse_repeats — the reference passes
+                # `label(parent) == Some(label)` unconditionally
+                # (duplex.rs:510-511), unlike build time where the repeat
+                # branch only exists under collapse (duplex.rs:539-553)
+                is_rep = pll_ref[:] == llv
+
+                last_tot = _ls_add(last_lab, last_gap)
 
                 def ext_cell(c2, st):
-                    last_lab, last_gap, par_lab, par_gap, p2m = st
+                    # carry (lab, tot): see build_cell
+                    last_lab, last_tot, par_lab, par_gap, p2m = st
                     row = l2row(c2)
                     p0 = row[0:1, :]
                     p_lbl = jnp.zeros((KP, Bt), jnp.float32)
@@ -288,7 +293,7 @@ def _duplex_kernel(
                     base = jnp.where(
                         is_rep, par_gap, _ls_add(par_lab, par_gap)
                     )
-                    gap_n = _ls_add(last_lab, last_gap) + p0
+                    gap_n = last_tot + p0
                     lab_n = p_lbl + _ls_add(last_lab, base)
                     col = c2 - wb
                     cur_l = blab_ref[:, pl.ds(col, 1), :]
@@ -302,7 +307,7 @@ def _duplex_kernel(
                     tot_n = _ls_add(lab_n, gap_n)
                     p2m = jnp.where(gate, _ls_max(p2m, tot_n), p2m)
                     last_lab = jnp.where(gate, lab_n, last_lab)
-                    last_gap = jnp.where(gate, gap_n, last_gap)
+                    last_tot = jnp.where(gate, tot_n, last_tot)
                     npl = jnp.full((KP, Bt), NEG)
                     npg = jnp.full((KP, Bt), NEG)
                     for k in range(K):
@@ -317,11 +322,11 @@ def _duplex_kernel(
                         rootval(c2),
                         jnp.where(any_live, npg, fg),
                     )
-                    return (last_lab, last_gap, par_lab, par_gap, p2m)
+                    return (last_lab, last_tot, par_lab, par_gap, p2m)
 
                 out = jax.lax.fori_loop(
                     start, hi, ext_cell,
-                    (last_lab, last_gap, par_lab, par_gap, p2m_ref[:]),
+                    (last_lab, last_tot, par_lab, par_gap, p2m_ref[:]),
                 )
                 p2m_ref[:] = jnp.where(gate, out[4], p2m_ref[:])
                 be_ref[:] = jnp.where(gate, hi, be_ref[:])
@@ -421,7 +426,10 @@ def _duplex_kernel(
         root_e = expand_k(tip_root.astype(jnp.int32)) != 0
 
         def build_cell(c2, st):
-            last_lab, last_gap, p2m = st
+            # carry (lab, tot) instead of (lab, gap): gap(c) only ever feeds
+            # tot(c) = lsadd(lab, gap), which doubles as the next cell's
+            # "last_probs.probability()" — one logsumexp per cell saved
+            last_lab, last_tot, p2m = st
             row = l2row(c2)
             p0c = row[0:1, :]
             plc = jnp.zeros((KAP, Bt), jnp.float32)
@@ -431,22 +439,25 @@ def _duplex_kernel(
             t_lab = band_col(blab_ref, pv - wb)
             t_gap = band_col(bgap_ref, pv - wb)
             t_ok = (pv >= bo_v) & (pv < be_v)
-            par_lab = expand_k(
-                jnp.where(t_ok & ~tip_root, t_lab, NEG), NEG
-            )
-            par_gap = jnp.where(
-                root_e,
-                rootval(pv),
-                expand_k(jnp.where(t_ok, t_gap, NEG), NEG),
-            )
-            base = jnp.where(is_rep_r, par_gap, _ls_add(par_lab, par_gap))
-            gap_n = _ls_add(last_lab, last_gap) + p0c
+            # per-tip [KP, Bt] logsumexp, then one expand to [KAP, Bt]
+            p_lab = jnp.where(t_ok & ~tip_root, t_lab, NEG)
+            p_gap = jnp.where(t_ok, t_gap, NEG)
+            p_tot = _ls_add(p_lab, p_gap)
+            rv = rootval(pv)
+            par_gap = jnp.where(root_e, rv, expand_k(p_gap, NEG))
+            par_tot = jnp.where(root_e, rv, expand_k(p_tot, NEG))
+            base = jnp.where(is_rep_r, par_gap, par_tot)
+            gap_n = last_tot + p0c
             lab_n = plc + _ls_add(last_lab, base)
             tot = _ls_add(lab_n, gap_n)
             p2m = jnp.maximum(p2m, jnp.where(jnp.isnan(tot), NEG, tot))
-            return (lab_n, gap_n, p2m)
+            return (lab_n, tot, p2m)
 
-        neg_r = jnp.full((KAP, Bt), NEG)
+        # loop-carry init must be data-dependent: Mosaic assigns constant
+        # inits a replicated layout that cannot be relaid to the computed
+        # body values' layout ("Invalid relayout ... replicated in
+        # destination but not in source")
+        neg_r = jnp.where(row_i >= -1 - t, NEG, plab_r)  # == NEG everywhere
         _, _, p2m_new = jax.lax.fori_loop(
             lo, hi, build_cell, (neg_r, neg_r, neg_r)
         )
@@ -547,30 +558,39 @@ def _duplex_kernel(
         )
 
         # ---- band relocation: temp <- gathered tips / rebuilt fresh ----
-        for ref in (nlab_ref, ngap_ref, npblab_ref, npbgap_ref):
-            ref[:] = jnp.full((KP, W, Bt), NEG)
+        # own bands: NEG-filled, then tip-chosen slots copy their tip row
+        # (fresh slots' windows [lo, hi) are fully rebuilt below, and every
+        # band read elsewhere is masked by [boff, bend), so stale content
+        # outside the window is never observed).  Parent copies: tip-chosen
+        # slots keep their pb row, fresh slots take their source tip's own
+        # band — one fused select per (slot, tip) pair, accumulated in
+        # registers and written once per destination row.
         for r in range(K):
             rs = slice(r, r + 1)
             ct = sel[r]["chosen_tip"]  # (KP, Bt) over old tip rows
             is_f = sel[r]["crow"] >= KP  # (1, Bt)
             src_k = sel[r]["src"]  # (1, Bt)
+            acc_l = jnp.full((1, W, Bt), NEG)
+            acc_g = jnp.full((1, W, Bt), NEG)
+            acc_pl = jnp.full((1, W, Bt), NEG)
+            acc_pg = jnp.full((1, W, Bt), NEG)
             for k in range(K):
                 mt = (ct[k : k + 1, :] & ~is_f)[:, None, :]
-                nlab_ref[rs] = jnp.where(mt, blab_ref[k : k + 1], nlab_ref[rs])
-                ngap_ref[rs] = jnp.where(mt, bgap_ref[k : k + 1], ngap_ref[rs])
-                npblab_ref[rs] = jnp.where(
-                    mt, pblab_ref[k : k + 1], npblab_ref[rs]
-                )
-                npbgap_ref[rs] = jnp.where(
-                    mt, pbgap_ref[k : k + 1], npbgap_ref[rs]
-                )
                 mf = ((src_k == k) & is_f)[:, None, :]
-                npblab_ref[rs] = jnp.where(
-                    mf, blab_ref[k : k + 1], npblab_ref[rs]
+                acc_l = jnp.where(mt, blab_ref[k : k + 1], acc_l)
+                acc_g = jnp.where(mt, bgap_ref[k : k + 1], acc_g)
+                acc_pl = jnp.where(
+                    mt, pblab_ref[k : k + 1],
+                    jnp.where(mf, blab_ref[k : k + 1], acc_pl),
                 )
-                npbgap_ref[rs] = jnp.where(
-                    mf, bgap_ref[k : k + 1], npbgap_ref[rs]
+                acc_pg = jnp.where(
+                    mt, pbgap_ref[k : k + 1],
+                    jnp.where(mf, bgap_ref[k : k + 1], acc_pg),
                 )
+            nlab_ref[rs] = acc_l
+            ngap_ref[rs] = acc_g
+            npblab_ref[rs] = acc_pl
+            npbgap_ref[rs] = acc_pg
 
         # rebuild fresh slots' own bands (second cell pass, [KP, Bt] rows)
         fr = new_fresh & v_k
@@ -585,7 +605,7 @@ def _duplex_kernel(
             sl_root = sl_root | ((sl_src == k) & tip_root[k : k + 1, :])
 
         def rebuild_cell(c2, st):
-            last_lab, last_gap = st
+            last_lab, last_tot = st
             row = l2row(c2)
             p0c = row[0:1, :]
             plc = jnp.zeros((KP, Bt), jnp.float32)
@@ -610,8 +630,9 @@ def _duplex_kernel(
             par_gap = jnp.where(sl_root, rootval(pv), par_gap)
             par_lab = jnp.where(sl_root, NEG, par_lab)
             base = jnp.where(sl_isrep, par_gap, _ls_add(par_lab, par_gap))
-            gap_n = _ls_add(last_lab, last_gap) + p0c
+            gap_n = last_tot + p0c
             lab_n = plc + _ls_add(last_lab, base)
+            tot_n = _ls_add(lab_n, gap_n)
             col = c2 - wb
             cl = nlab_ref[:, pl.ds(col, 1), :]
             cg = ngap_ref[:, pl.ds(col, 1), :]
@@ -622,9 +643,9 @@ def _duplex_kernel(
             ngap_ref[:, pl.ds(col, 1), :] = jnp.where(
                 g3, gap_n[:, None, :], cg
             )
-            return (lab_n, gap_n)
+            return (lab_n, tot_n)
 
-        neg_kp = jnp.full((KP, Bt), NEG)
+        neg_kp = jnp.where(slot_kp >= -1 - t, NEG, new_p1l)  # == NEG everywhere
         jax.lax.fori_loop(lo, hi, rebuild_cell, (neg_kp, neg_kp))
 
         # ---- error + write-back, gated on active ----

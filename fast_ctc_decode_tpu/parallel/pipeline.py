@@ -424,6 +424,7 @@ class BatchDuplexDecoder:
         beam_cut_threshold: float = 0.0,
         collapse_repeats: bool = True,
         mesh=None,
+        engine: Optional[str] = None,
     ):
         from ..ops import duplex_fast as duplex_fast_ops
 
@@ -435,19 +436,46 @@ class BatchDuplexDecoder:
         self.collapse = bool(collapse_repeats)
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
+        if engine not in (None, "pallas", "fast"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+
+    def _pallas_eligible(self, ep, shared_env: bool) -> bool:
+        """The fused Pallas kernel (ops/duplex_pallas.py) covers batches that
+        share one monotone-lower-bound envelope with a band narrow enough to
+        keep every slot band VMEM-resident; everything else runs the XLA
+        engine.  Off-TPU the kernel only runs interpreted (slow), so auto
+        mode keeps XLA there."""
+        A = len(self.alphabet) - 1
+        Wp = -(-ep.W // 8) * 8
+        return (
+            shared_env
+            and (ep.rel_window or ep.static_window)
+            and Wp <= 256
+            and self.T2 * 8 * 128 * 4 <= 6 * 2**20  # l2 VMEM block budget
+            and self.beam_size <= 8
+            and self.beam_size * A <= 24
+            and A + 1 <= 8
+        )
 
     def decode(self, net1, net2, envelopes=None, lengths=None):
         """net1 [B, T1, A+1], net2 [B, T2, A+1] linear probabilities.
-        Returns [(sequence, err_code)] per pair (duplex returns no path,
-        matching the reference — src/duplex.rs:638-649)."""
+        ``envelopes``: None (full range), [T1, 2] (one envelope shared by
+        the whole batch) or [B, T1, 2] (per-pair).  Returns
+        [(sequence, err_code)] per pair (duplex returns no path, matching
+        the reference — src/duplex.rs:638-649)."""
         B0 = net1.shape[0]
         T1, T2 = self.T1, self.T2
+        shared_env = envelopes is None or np.asarray(envelopes).ndim == 2
+        shared_envelope = None
+        if envelopes is not None and np.asarray(envelopes).ndim == 2:
+            shared_envelope = np.asarray(envelopes)
         n_dev = len(self.mesh.devices.reshape(-1))
         pad = (-B0) % n_dev  # pad to a full device batch (length-0 reads)
         if pad:
             net1 = np.concatenate([net1, np.repeat(net1[-1:], pad, 0)], 0)
             net2 = np.concatenate([net2, np.repeat(net2[-1:], pad, 0)], 0)
-            if envelopes is not None:
+            if envelopes is not None and not shared_env:
                 envelopes = np.concatenate(
                     [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
                 )
@@ -456,11 +484,12 @@ class BatchDuplexDecoder:
                     [np.asarray(lengths), np.zeros((pad,), np.int32)]
                 )
         B = net1.shape[0]
-        shared_env = envelopes is None
         if shared_env:
-            env = np.zeros((T1, 2), np.int64)
-            env[:, 1] = T2
-            envelopes = np.broadcast_to(env, (B, T1, 2))
+            env = shared_envelope
+            if env is None:
+                env = np.zeros((T1, 2), np.int64)
+                env[:, 1] = T2
+            envelopes = np.broadcast_to(env.astype(np.int64), (B, T1, 2))
         if lengths is None:
             lengths = np.full((B,), T1, np.int32)
             if pad:
@@ -502,24 +531,57 @@ class BatchDuplexDecoder:
                 l2[b, : wr_b - 1, 0], dtype=np.float32
             )
 
-        sh = self._sharding
-        out = jax.jit(
-            jax.shard_map(
-                lambda a, c, rg, lo, hi, ln: self._ops.duplex_fast_batch(
-                    a, c, rg, lo, hi, thr,
-                    jnp.zeros(a.shape[0], jnp.int32), ln,
-                    beam_size=self.beam_size,
-                    collapse_repeats=self.collapse,
-                    W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
-                    static_window=static_window, rel_window=rel_window, D=D,
-                ),
-                mesh=self.mesh,
-                in_specs=(P(DATA_AXIS),) * 6,
-                out_specs=P(DATA_AXIS),
-                check_vma=False,
+        engine = self.engine
+        if engine is None:
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and self._pallas_eligible(ep, shared_env)
+                else "fast"
             )
-        )(l1, l2, root_gap, los, his, np.asarray(lengths, np.int32))
-        out = jax.device_get(out)
+        if engine == "pallas" and not self._pallas_eligible(ep, shared_env):
+            raise ValueError(
+                "engine='pallas' needs a shared monotone envelope with "
+                "band width <= 256 (see BatchDuplexDecoder._pallas_eligible)"
+            )
+
+        if engine == "pallas":
+            from ..ops import duplex_pallas as duplex_pallas_ops
+
+            out = jax.jit(
+                jax.shard_map(
+                    lambda a, c, rg, ln: duplex_pallas_ops.duplex_pallas_batch(
+                        a, c, rg, ep.lo, ep.hi, thr, ln,
+                        beam_size=self.beam_size,
+                        collapse_repeats=self.collapse,
+                        W=ep.W, D=ep.D, needs_ext=ep.needs_ext,
+                        interpret=jax.default_backend() != "tpu",
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 4,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )(l1, l2, root_gap, np.asarray(lengths, np.int32))
+            out = jax.device_get(out)
+        else:
+            out = jax.jit(
+                jax.shard_map(
+                    lambda a, c, rg, lo, hi, ln: self._ops.duplex_fast_batch(
+                        a, c, rg, lo, hi, thr,
+                        jnp.zeros(a.shape[0], jnp.int32), ln,
+                        beam_size=self.beam_size,
+                        collapse_repeats=self.collapse,
+                        W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
+                        static_window=static_window, rel_window=rel_window, D=D,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 6,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )(l1, l2, root_gap, los, his, np.asarray(lengths, np.int32))
+            out = jax.device_get(out)
 
         from ..native import detokenize_batch
 
