@@ -115,6 +115,19 @@ def _beam_kernel(
     lens = len_ref[:]  # (1, Bt)
     slot = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0)
     in_beam = slot < K
+    # [KAP, Bt] candidate plane: row r = (tip k, label a), k-major
+    KAP = max(-(-KA // 8) * 8, 8)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (KAP, Bt), 0)
+    k_of_r = row_i // np.int32(A)
+    a_of_r = row_i % np.int32(A)
+    cand_in = row_i < KA
+
+    def expand_k(x_kp, fill=0):
+        """[KP, Bt] per-tip values -> [KAP, Bt] per-(k, a) candidate rows."""
+        out = jnp.full((KAP, Bt), fill, x_kp.dtype)
+        for k in range(K):
+            out = jnp.where(k_of_r == k, x_kp[k : k + 1, :], out)
+        return out
 
     def step(jt, _):
         t = j * TB + jt  # scalar i32
@@ -137,71 +150,59 @@ def _beam_kernel(
         lg = lab + gap
         gap_pos = gap > 0.0
 
-        # ---- per-label expansion pieces ----
-        pl_rows = [row[1 + a : 2 + a, :] for a in range(A)]  # (1, Bt) each
-        th1 = [_mix1_i32(h1, a) for a in range(A)]
-        th2 = [_mix2_i32(h2, a) for a in range(A)]
-        pushed = [valid & ~(pl_rows[a] < thr) for a in range(A)]
+        # ---- candidate-plane expansion (all K*A at once) ----
+        plab_r = jnp.zeros((KAP, Bt), jnp.float32)
+        for a in range(A):
+            plab_r = jnp.where(a_of_r == a, row[1 + a : 2 + a, :], plab_r)
+        h1e, h2e = expand_k(h1), expand_k(h2)
+        th1 = jnp.zeros((KAP, Bt), jnp.int32)
+        th2 = jnp.zeros((KAP, Bt), jnp.int32)
+        for a in range(A):
+            th1 = jnp.where(a_of_r == a, _mix1_i32(h1e, a), th1)
+            th2 = jnp.where(a_of_r == a, _mix2_i32(h2e, a), th2)
+        valid_r = (expand_k(va_ref[:]) != 0) & cand_in
+        pushed = valid_r & ~(plab_r < thr)
         if collapse:
-            is_rep = [lastlab == a for a in range(A)]
+            is_rep_r = expand_k(lastlab, -9) == a_of_r
         else:
-            is_rep = [jnp.zeros((KP, Bt), bool) for _ in range(A)]
-        m_ext = [
-            jnp.where(is_rep[a], gap, lg) * pl_rows[a] for a in range(A)
-        ]
+            is_rep_r = jnp.zeros((KAP, Bt), bool)
+        gap_e = expand_k(gap)
+        m_ext = jnp.where(is_rep_r, gap_e, expand_k(lg)) * plab_r
 
-        # ---- matching: extension (i, a) targets tip jj iff its child hash
+        # ---- matching: extension (k, a) targets tip jj iff its child hash
         # equals jj's own hash (beam_fast.py) ----
-        match = [[None] * K for _ in range(A)]
-        matched = [jnp.zeros((KP, Bt), bool) for _ in range(A)]
+        match = []
+        matched = jnp.zeros((KAP, Bt), bool)
         for jj in range(K):
-            hj1 = h1[jj : jj + 1, :]
-            hj2 = h2[jj : jj + 1, :]
-            llj = lastlab[jj : jj + 1, :]
-            vj = valid[jj : jj + 1, :]
-            for a in range(A):
-                m = (th1[a] == hj1) & (th2[a] == hj2) & (llj == a) & vj
-                match[a][jj] = m
-                matched[a] = matched[a] | m
-
-        push_ext = [
-            pushed[a] & (~is_rep[a] | matched[a] | gap_pos) for a in range(A)
-        ]
-
-        # recv[jj]: the unique arrival into tip jj (sum over the match mask).
-        # validity rides as int32 — Mosaic cannot concatenate i1 vregs.
-        recv_rows = []
-        recv_any_rows = []
-        for jj in range(K):
-            acc = jnp.zeros((1, Bt), jnp.float32)
-            any_ = jnp.zeros((1, Bt), jnp.int32)
-            for a in range(A):
-                sel = match[a][jj] & push_ext[a]
-                acc = acc + jnp.sum(
-                    jnp.where(sel, m_ext[a], 0.0), axis=0, keepdims=True
-                )
-                any_ = jnp.maximum(
-                    any_,
-                    jnp.max(jnp.where(sel, 1, 0), axis=0, keepdims=True),
-                )
-            recv_rows.append(acc)
-            recv_any_rows.append(any_)
-        pad = [jnp.zeros((1, Bt), jnp.float32)] * (KP - K)
-
-        recv = jnp.concatenate(recv_rows + pad, axis=0)  # (KP, Bt)
-        recv_any = (
-            jnp.concatenate(
-                recv_any_rows + [jnp.zeros((1, Bt), jnp.int32)] * (KP - K),
-                axis=0,
+            m = (
+                (th1 == h1[jj : jj + 1, :])
+                & (th2 == h2[jj : jj + 1, :])
+                & (a_of_r == lastlab[jj : jj + 1, :])
+                & valid[jj : jj + 1, :]
             )
-            != 0
-        )
+            match.append(m)
+            matched = matched | m
+
+        push_ext = pushed & (~is_rep_r | matched | (gap_e > 0.0))
+
+        # recv[jj]: the unique arrival into tip jj (sum over the match mask)
+        recv = jnp.zeros((KP, Bt), jnp.float32)
+        recv_any = jnp.zeros((KP, Bt), bool)
+        for jj in range(K):
+            sel = match[jj] & push_ext
+            acc = jnp.sum(jnp.where(sel, m_ext, 0.0), axis=0, keepdims=True)
+            got = jnp.any(sel, axis=0, keepdims=True)
+            rmask = slot == jj
+            recv = jnp.where(rmask, acc, recv)
+            recv_any = recv_any | (rmask & got)
 
         # ---- stay / blank ----
         if collapse:
             p_stay = jnp.zeros((KP, Bt), jnp.float32)
             for a in range(A):
-                p_stay = p_stay + jnp.where(lastlab == a, pl_rows[a], 0.0)
+                p_stay = p_stay + jnp.where(
+                    lastlab == a, row[1 + a : 2 + a, :], 0.0
+                )
             stay_push = valid & (lastlab >= 0) & ~(p_stay < thr)
             stay_lab = jnp.where(stay_push, lab * p_stay, 0.0)
         else:
@@ -215,41 +216,29 @@ def _beam_kernel(
         tip_gap = blank_gap
         tip_valid = blank_push | stay_push | recv_any
 
-        # ---- candidate table: rows 0..K-1 = tips, rows K+a*K+k = fresh
-        # extensions, concatenated into single (CR, Bt) arrays so each
-        # selection pass is one tall vector op instead of per-block loops
+        # ---- candidate table: rows 0..KP-1 = tips, KP.. = fresh ----
         def key_of(v, tot):
             return jnp.where(
                 v, jnp.where(jnp.isnan(tot), POS_INF, tot + 0.0), NEG_INF
             )
 
-        base_id = t * KA
+        fresh_valid = push_ext & ~matched
+        fresh_id = t * KA + k_of_r * np.int32(A) + a_of_r
         tip_tot = tip_lab + tip_gap
-
-        # concat whole (KP, Bt) blocks — Mosaic mishandles odd-sublane
-        # slices; the pad rows (k >= K) carry key = -inf and never win
-        def catk(tip_arr, fresh_arrs):
-            return jnp.concatenate([tip_arr] + list(fresh_arrs), axis=0)
-
-        fvs = [push_ext[a] & ~matched[a] & in_beam for a in range(A)]
-        c_key = catk(
-            key_of(tip_valid, tip_tot),
-            [key_of(fvs[a], jnp.where(fvs[a], m_ext[a], 0.0)) for a in range(A)],
-        )  # (CR, Bt), CR = K*(A+1)
-        c_lab = catk(
-            tip_lab, [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)]
+        c_key = jnp.concatenate(
+            [
+                key_of(tip_valid, tip_tot),
+                key_of(fresh_valid, jnp.where(fresh_valid, m_ext, 0.0)),
+            ]
+        )  # (KP + KAP, Bt)
+        c_lab = jnp.concatenate(
+            [tip_lab, jnp.where(fresh_valid, m_ext, 0.0)]
         )
-        zero_kp = jnp.zeros((KP, Bt), jnp.float32)
-        c_gap = catk(tip_gap, [zero_kp] * A)
-        fresh_k_id = slot * np.int32(A)  # k*A per row
-        c_id = catk(
-            idv, [base_id + fresh_k_id + np.int32(a) for a in range(A)]
-        )
-        c_h1 = catk(h1, th1)
-        c_h2 = catk(h2, th2)
-        c_ll = catk(
-            lastlab, [jnp.full((KP, Bt), a, jnp.int32) for a in range(A)]
-        )
+        c_gap = jnp.concatenate([tip_gap, jnp.zeros((KAP, Bt), jnp.float32)])
+        c_id = jnp.concatenate([idv, fresh_id])
+        c_h1 = jnp.concatenate([h1, th1])
+        c_h2 = jnp.concatenate([h2, th2])
+        c_ll = jnp.concatenate([lastlab, a_of_r])
         c_tot = c_lab + c_gap
 
         # error flags (reference NaN semantics: >= 2 candidates compared)
@@ -264,10 +253,11 @@ def _beam_kernel(
         # ---- top-K selection: K rounds of (max, tie -> min id) ----
         sel_rows = []  # per round: (valid, [lab, gap, id, h1, h2, lastlab])
         top = None
+        key = c_key
         for _ in range(K):
-            mx = jnp.max(c_key, axis=0, keepdims=True)
+            mx = jnp.max(key, axis=0, keepdims=True)
             slot_valid = mx > NEG_INF
-            at = c_key == mx
+            at = key == mx
             sid = jnp.min(
                 jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True
             )
@@ -288,7 +278,7 @@ def _beam_kernel(
             ]
             if top is None:
                 top = pick(c_tot, 0.0)  # pre-normalization top score
-            c_key = jnp.where(chosen, NEG_INF, c_key)
+            key = jnp.where(chosen, NEG_INF, key)
             sel_rows.append((slot_valid, acc))
 
         # ---- write back the next beam, gated on `active` ----
@@ -413,4 +403,374 @@ def beam_search_pallas_batch(
         "times_rev": times_rev,
         "count": count,
         "err": err_b,
+    }
+
+
+# --------------------------------------------------------------- CRF variant
+
+
+def _crf_beam_kernel(
+    thr_ref,  # SMEM (1, 1) f32
+    probs_ref,  # VMEM (TB, S*8, Bt) f32 — rows s*8 + a (A1 <= 8, padded)
+    init_ref,  # VMEM (SP, Bt) f32 init_state per read (rows >= S are -inf)
+    len_ref,  # VMEM (1, Bt) i32
+    ids_out_ref,  # VMEM (TB, KP, Bt) i32
+    fin_ref,  # VMEM (1, Bt) i32
+    err_out_ref,  # VMEM (1, Bt) i32
+    # scratch
+    lab_ref, gap_ref,  # (KP, Bt) f32
+    h1_ref, h2_ref,  # (KP, Bt) i32
+    ll_ref,  # (KP, Bt) i32 last label (-1 root)
+    st_ref,  # (KP, Bt) i32 CRF transition state
+    id_ref,  # (KP, Bt) i32
+    va_ref,  # (KP, Bt) i32
+    er_ref,  # (1, Bt) i32
+    *,
+    K: int,
+    KP: int,
+    A: int,
+    S: int,
+    TB: int,
+):
+    """CRF prefix beam search (reference /root/reference/src/search.rs:38-157)
+    as one fused kernel; hash-identity semantics of
+    ops/beam_fast.crf_beam_search_fast_device.
+
+    The CRF twist vs the plain kernel (_beam_kernel): every tip carries a
+    transition state s_k, its per-step probability row is
+    ``probs[t, s_k, :]`` — a per-lane dynamic row — and emitting label l
+    moves to ``(s_k * n_base) % n_state + l`` (search.rs:97).  The row
+    fetch runs as a log2(S)-level binary select tree over the state axis
+    (state-bit-driven halvings), which is ~S/log S cheaper than a one-hot
+    masked reduction; there is no repeat-collapse branch (search.rs:90-99).
+    """
+    j = pl.program_id(1)
+    Bt = len_ref.shape[1]
+    KA = np.int32(K * A)
+
+    @pl.when(j == 0)
+    def _init():
+        # beam init from init_state max/argmax (search.rs:54-59)
+        best = init_ref[0:1, :]
+        arg = jnp.zeros((1, Bt), jnp.int32)
+        for s in range(1, S):
+            row = init_ref[s : s + 1, :]
+            better = row > best
+            arg = jnp.where(better, s, arg)
+            best = jnp.where(better, row, best)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0) == 0
+        lab_ref[:] = jnp.where(row0, best, 0.0).astype(jnp.float32)
+        gap_ref[:] = jnp.where(row0, init_ref[0:1, :], 0.0).astype(jnp.float32)
+        st_ref[:] = jnp.where(row0, arg, 0).astype(jnp.int32)
+        h1_ref[:] = jnp.where(row0, _SEED1, 0).astype(jnp.int32)
+        h2_ref[:] = jnp.where(row0, _SEED2, 0).astype(jnp.int32)
+        ll_ref[:] = jnp.full((KP, Bt), -1, jnp.int32)
+        id_ref[:] = jnp.where(row0, -1, -2).astype(jnp.int32)
+        va_ref[:] = jnp.where(row0, 1, 0).astype(jnp.int32)
+        er_ref[:] = jnp.zeros((1, Bt), jnp.int32)
+
+    thr = thr_ref[0, 0]
+    lens = len_ref[:]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0)
+    in_beam = slot < K
+    SBITS = max(S - 1, 1).bit_length()
+
+    def step(jt, _):
+        t = j * TB + jt
+        err = er_ref[:]
+        active = (t < lens) & (err == 0)
+
+        lab = lab_ref[:]
+        gap = gap_ref[:]
+        h1 = h1_ref[:]
+        h2 = h2_ref[:]
+        lastlab = ll_ref[:]
+        state = st_ref[:]
+        idv = id_ref[:]
+        valid = (va_ref[:] != 0) & in_beam
+
+        ids_out_ref[jt] = idv
+
+        block = probs_ref[jt]  # (S*8, Bt)
+
+        def tip_row(s_k):
+            """(8, Bt) probability rows probs[t, s_k, :] for one tip:
+            binary select tree over the S axis driven by s_k's bits."""
+            cur = block  # (S*8, Bt) value
+            size = S
+            for bit in range(SBITS - 1, -1, -1):
+                half = 1 << bit
+                if size <= half:
+                    continue
+                hi_sel = (s_k & np.int32(half)) != 0
+                top = cur[half * 8 : half * 8 + (size - half) * 8, :]
+                bot = cur[0 : (size - half) * 8, :]
+                cur = jnp.where(hi_sel, top, bot)
+                size = max(size - half, half)
+                cur = cur[0 : size * 8, :]
+            return cur[0:8, :]
+
+        prows = [tip_row(state[k : k + 1, :]) for k in range(K)]
+        lg = lab + gap
+
+        # per-(tip, label) expansion pieces
+        th1 = [_mix1_i32(h1, a) for a in range(A)]
+        th2 = [_mix2_i32(h2, a) for a in range(A)]
+        p0_rows = [prows[k][0:1, :] for k in range(K)]
+        pl_rows = [[prows[k][1 + a : 2 + a, :] for a in range(A)] for k in range(K)]
+
+        # matching: extension (k, a) targets tip jj iff child hash matches
+        # (state equality is implied: the prefix determines the state)
+        match = [[None] * K for _ in range(A)]
+        matched = [jnp.zeros((KP, Bt), bool) for _ in range(A)]
+        for jj in range(K):
+            hj1 = h1[jj : jj + 1, :]
+            hj2 = h2[jj : jj + 1, :]
+            llj = lastlab[jj : jj + 1, :]
+            vj = valid[jj : jj + 1, :]
+            for a in range(A):
+                m = (th1[a] == hj1) & (th2[a] == hj2) & (llj == a) & vj
+                match[a][jj] = m
+                matched[a] = matched[a] | m
+
+        # per-tip masses; no collapse/stay branch for CRF
+        # m_ext[a] rows: row k = (lab+gap)_k * probs[s_k, 1+a]
+        m_ext = []
+        pushed = []
+        for a in range(A):
+            pla = jnp.zeros((KP, Bt), jnp.float32)
+            for k in range(K):
+                pla = jnp.where(slot == k, pl_rows[k][a], pla)
+            m_ext.append(lg * pla)
+            pushed.append(valid & ~(pla < thr))
+        push_ext = pushed
+
+        recv_rows = []
+        recv_any_rows = []
+        for jj in range(K):
+            acc = jnp.zeros((1, Bt), jnp.float32)
+            any_ = jnp.zeros((1, Bt), jnp.int32)
+            for a in range(A):
+                sel = match[a][jj] & push_ext[a]
+                acc = acc + jnp.sum(
+                    jnp.where(sel, m_ext[a], 0.0), axis=0, keepdims=True
+                )
+                any_ = jnp.maximum(
+                    any_, jnp.max(jnp.where(sel, 1, 0), axis=0, keepdims=True)
+                )
+            recv_rows.append(acc)
+            recv_any_rows.append(any_)
+        pad = [jnp.zeros((1, Bt), jnp.float32)] * (KP - K)
+        recv = jnp.concatenate(recv_rows + pad, axis=0)
+        recv_any = (
+            jnp.concatenate(
+                recv_any_rows + [jnp.zeros((1, Bt), jnp.int32)] * (KP - K),
+                axis=0,
+            )
+            != 0
+        )
+
+        p0 = jnp.zeros((KP, Bt), jnp.float32)
+        for k in range(K):
+            p0 = jnp.where(slot == k, p0_rows[k], p0)
+        blank_push = valid & (p0 > thr)
+        blank_gap = jnp.where(blank_push, lg * p0, 0.0)
+
+        tip_lab = recv
+        tip_gap = blank_gap
+        tip_valid = blank_push | recv_any
+
+        new_state = [
+            ((state * np.int32(A)) % np.int32(S) + np.int32(a)).astype(
+                jnp.int32
+            )
+            for a in range(A)
+        ]
+
+        def key_of(v, tot):
+            return jnp.where(
+                v, jnp.where(jnp.isnan(tot), POS_INF, tot + 0.0), NEG_INF
+            )
+
+        base_id = t * KA
+        tip_tot = tip_lab + tip_gap
+
+        def catk(tip_arr, fresh_arrs):
+            return jnp.concatenate([tip_arr] + list(fresh_arrs), axis=0)
+
+        fvs = [push_ext[a] & ~matched[a] & in_beam for a in range(A)]
+        c_key = catk(
+            key_of(tip_valid, tip_tot),
+            [key_of(fvs[a], jnp.where(fvs[a], m_ext[a], 0.0)) for a in range(A)],
+        )
+        c_lab = catk(tip_lab, [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)])
+        zero_kp = jnp.zeros((KP, Bt), jnp.float32)
+        c_gap = catk(tip_gap, [zero_kp] * A)
+        fresh_k_id = slot * np.int32(A)
+        c_id = catk(idv, [base_id + fresh_k_id + np.int32(a) for a in range(A)])
+        c_h1 = catk(h1, th1)
+        c_h2 = catk(h2, th2)
+        c_ll = catk(lastlab, [jnp.full((KP, Bt), a, jnp.int32) for a in range(A)])
+        c_st = catk(state, new_state)
+        c_tot = c_lab + c_gap
+
+        c_valid = c_key > NEG_INF
+        cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
+        nanv = jnp.max(
+            jnp.where(c_valid & jnp.isnan(c_tot), 1, 0), axis=0, keepdims=True
+        )
+        nan_flag = (cnt >= 2) & (nanv != 0)
+        empty_flag = cnt == 0
+
+        sel_rows = []
+        top = None
+        key = c_key
+        for _ in range(K):
+            mx = jnp.max(key, axis=0, keepdims=True)
+            slot_valid = mx > NEG_INF
+            at = key == mx
+            sid = jnp.min(jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True)
+            chosen = at & (c_id == sid)
+
+            def pick(arr, z):
+                return jnp.sum(jnp.where(chosen, arr, z), axis=0, keepdims=True)
+
+            acc = [
+                pick(c_lab, 0.0), pick(c_gap, 0.0), pick(c_id, 0),
+                pick(c_h1, 0), pick(c_h2, 0), pick(c_ll, 0), pick(c_st, 0),
+            ]
+            if top is None:
+                top = pick(c_tot, 0.0)
+            key = jnp.where(chosen, NEG_INF, key)
+            sel_rows.append((slot_valid, acc))
+
+        step_err = jnp.where(
+            nan_flag,
+            errors.INCOMPARABLE_VALUES,
+            jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+        ).astype(jnp.int32)
+        er_ref[:] = jnp.where(
+            err > 0, err, jnp.where(active, step_err, 0)
+        ).astype(jnp.int32)
+
+        for r in range(K):
+            slot_valid, acc = sel_rows[r]
+            g = lambda new, old: jnp.where(active, new, old)
+            rs = slice(r, r + 1)
+            lab_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[0] / top, 0.0), lab_ref[rs, :]
+            )
+            gap_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[1] / top, 0.0), gap_ref[rs, :]
+            )
+            id_ref[rs, :] = g(jnp.where(slot_valid, acc[2], -2), id_ref[rs, :])
+            h1_ref[rs, :] = g(acc[3], h1_ref[rs, :])
+            h2_ref[rs, :] = g(acc[4], h2_ref[rs, :])
+            ll_ref[rs, :] = g(acc[5], ll_ref[rs, :])
+            st_ref[rs, :] = g(acc[6], st_ref[rs, :])
+            va_ref[rs, :] = g(
+                jnp.where(slot_valid, 1, 0).astype(jnp.int32), va_ref[rs, :]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, TB, step, 0)
+    fin_ref[:] = id_ref[0:1, :]
+    err_out_ref[:] = er_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_size", "block_t", "block_b", "interpret"),
+)
+def crf_beam_search_pallas_batch(
+    probs: jnp.ndarray,  # [B, T, S, A+1] f32
+    init_states: jnp.ndarray,  # [B, S] f32
+    lengths: jnp.ndarray,  # [B] i32
+    beam_cut_threshold,
+    *,
+    beam_size: int,
+    block_t: int = 16,
+    block_b: int = 128,
+    interpret: bool = False,
+):
+    """Fused-kernel batched CRF beam search; crf_beam_search_fast_batch
+    output contract (labels_rev / times_rev / count / err)."""
+    B, T, S, A1 = probs.shape
+    A = A1 - 1
+    K = beam_size
+    KP = max(-(-K // 8) * 8, 8)
+    if A1 > 8:
+        raise ValueError("crf pallas kernel supports alphabets up to 8")
+    TB = min(block_t, max(T, 1))
+    Bt = min(block_b, max(B, 1))
+    Tp = -(-T // TB) * TB
+    Bp = -(-B // Bt) * Bt
+
+    probs_p = jnp.pad(
+        probs, ((0, Bp - B), (0, Tp - T), (0, 0), (0, 8 - A1))
+    )
+    probs_t = jnp.transpose(probs_p, (1, 2, 3, 0)).reshape(Tp, S * 8, Bp)
+    SP = -(-S // 8) * 8
+    init_t = jnp.transpose(
+        jnp.pad(
+            jnp.asarray(init_states, jnp.float32),
+            ((0, Bp - B), (0, SP - S)),
+            constant_values=-np.inf,
+        ),
+        (1, 0),
+    )
+    lens_p = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B)).reshape(
+        1, Bp
+    )
+    thr = jnp.asarray(beam_cut_threshold, jnp.float32).reshape(1, 1)
+
+    grid = (Bp // Bt, Tp // TB)
+    kernel = functools.partial(
+        _crf_beam_kernel, K=K, KP=KP, A=A, S=S, TB=TB
+    )
+    ids_log, fin, err = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((TB, S * 8, Bt), lambda i, j: (j, 0, i)),
+                pl.BlockSpec((SP, Bt), lambda i, j: (0, i)),
+                pl.BlockSpec((1, Bt), lambda i, j: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, KP, Bt), lambda i, j: (j, 0, i)),
+                pl.BlockSpec((1, Bt), lambda i, j: (0, i)),
+                pl.BlockSpec((1, Bt), lambda i, j: (0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((KP, Bt), jnp.float32),
+                pltpu.VMEM((KP, Bt), jnp.float32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((KP, Bt), jnp.int32),
+                pltpu.VMEM((1, Bt), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, KP, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(thr, probs_t, init_t, lens_p)
+
+    ids_btk = jnp.transpose(ids_log[:T, :K, :B], (2, 0, 1))
+    labels_rev, times_rev, count = jax.vmap(
+        lambda i0, ids: _traceback_positional(i0, ids, T, K, A)
+    )(fin[0, :B], ids_btk)
+    return {
+        "labels_rev": labels_rev,
+        "times_rev": times_rev,
+        "count": count,
+        "err": err[0, :B],
     }

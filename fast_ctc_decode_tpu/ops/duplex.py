@@ -81,21 +81,53 @@ class DuplexCarry(NamedTuple):
 
 
 def _band_get(carry: DuplexCarry, root_gap, nodes, t2_idx, N, W, Wr):
-    """Fetch (label, gap) band values for `nodes [K]` at `t2_idx [K, J]`.
+    """Fetch (label, gap) band values for `nodes [K]` at `t2_idx [K, J]`,
+    where each row of ``t2_idx`` is consecutive (t2_idx[k, j] = start_k + j).
 
     Virtual root (node < 0) reads the precomputed root band (offset -1,
     gap-only — duplex.rs:389-409); out-of-window reads are ProbPair::zero.
+
+    Implementation note: a 2-D ``arr[rows, cols]`` gather inside a scan is
+    catastrophically slow on TPU (~ms per step).  Because the column index
+    is consecutive per row, each row is one ``dynamic_slice`` of width W
+    from the band table plus a roll — K tiny slices instead of a K*W
+    gather.  This single change takes the exact banded duplex engine from
+    seconds to tens of milliseconds per pair.
     """
+    K = nodes.shape[0]
     is_root = nodes < 0
     safe = jnp.clip(nodes, 0, N - 1)
     off = jnp.where(is_root, -1, jnp.take(carry.boff, safe))
     ln = jnp.where(is_root, Wr, jnp.take(carry.blen, safe))
     idx = t2_idx - off[:, None]
     ok = (idx >= 0) & (idx < ln[:, None])
-    ci = jnp.clip(idx, 0, W - 1)
-    g_band = carry.bgap[safe[:, None], ci]
-    l_band = carry.blab[safe[:, None], ci]
-    g_root = jnp.take(root_gap, jnp.clip(idx, 0, Wr - 1))
+    rows_l = []
+    rows_g = []
+    for k in range(K):
+        row_l = jax.lax.dynamic_slice(carry.blab, (safe[k], 0), (1, W))[0]
+        row_g = jax.lax.dynamic_slice(carry.bgap, (safe[k], 0), (1, W))[0]
+        # row column j must read band slot idx[k, j] = j + (idx[k, 0]);
+        # a roll by idx[k, 0] aligns it (out-of-range lanes are masked)
+        shift = idx[k, 0]
+        rows_l.append(jnp.roll(row_l, -shift))
+        rows_g.append(jnp.roll(row_g, -shift))
+    l_band = jnp.stack(rows_l)
+    g_band = jnp.stack(rows_g)
+    J = t2_idx.shape[1]
+    if J != W:
+        l_band = l_band[:, :J]
+        g_band = g_band[:, :J]
+    # root reads are consecutive too (idx[k, 0] >= 0 for root rows): one
+    # dynamic_slice per row instead of a [K, J] gather
+    rg_pad = jnp.pad(root_gap, (0, J))
+    g_root = jnp.stack(
+        [
+            jax.lax.dynamic_slice(
+                rg_pad, (jnp.clip(idx[k, 0], 0, Wr - 1),), (J,)
+            )
+            for k in range(K)
+        ]
+    )
     lab = jnp.where(ok & ~is_root[:, None], l_band, NEG)
     gap = jnp.where(ok, jnp.where(is_root[:, None], g_root, g_band), NEG)
     return lab, gap
@@ -195,9 +227,18 @@ def _extend_bands(
         last_lab = jnp.where(L2 > 0, row_lab[jnp.clip(L2 - 1, 0, W - 1)], NEG)
         last_gap = jnp.where(L2 > 0, row_gap[jnp.clip(L2 - 1, 0, W - 1)], NEG)
 
-        def jbody(j, stt):
-            row_lab, row_gap, last_lab, last_gap, mx = stt
-            a = act & (j < n_new)
+        # data-dependent trip count: ``Wext`` only bounds the worst case (a
+        # pruned node re-derived after many steps catches up over the whole
+        # missed range), but the typical extension is the per-step envelope
+        # growth of 1-2 cells — a fori over the global bound made every
+        # step pay for the catch-up case (~460 masked iterations on a
+        # diagonal envelope; this while_loop was a ~5x end-to-end win)
+        def jcond(stt):
+            j = stt[0]
+            return act & (j < n_new) & (j < Wext)
+
+        def jbody(stt):
+            j, row_lab, row_gap, last_lab, last_gap, mx = stt
             t2 = cur_end + j
             row = l2_row_fn(t2, st)  # [A+1]
             gap_n = ls_add(last_lab, last_gap) + row[0]
@@ -208,17 +249,17 @@ def _extend_bands(
             )
             base = jnp.where(prep, pvg, ls_add(pvl, pvg))
             lab_n = jnp.take(row, lbl + 1) + ls_add(last_lab, base)
-            widx = jnp.where(a, t2 - off2, W)
-            row_lab = row_lab.at[widx].set(lab_n, mode="drop")
-            row_gap = row_gap.at[widx].set(gap_n, mode="drop")
+            widx = jnp.clip(t2 - off2, 0, W - 1)
+            row_lab = row_lab.at[widx].set(lab_n)
+            row_gap = row_gap.at[widx].set(gap_n)
             tot_n = ls_add(lab_n, gap_n)
-            mx2 = jnp.where(a, ls_max(mx, tot_n), mx)
-            last_lab = jnp.where(a, lab_n, last_lab)
-            last_gap = jnp.where(a, gap_n, last_gap)
-            return (row_lab, row_gap, last_lab, last_gap, mx2)
+            mx2 = ls_max(mx, tot_n)
+            return (j + 1, row_lab, row_gap, lab_n, gap_n, mx2)
 
-        row_lab, row_gap, last_lab, last_gap, mx = jax.lax.fori_loop(
-            0, Wext, jbody, (row_lab, row_gap, last_lab, last_gap, mx)
+        _, row_lab, row_gap, last_lab, last_gap, mx = jax.lax.while_loop(
+            jcond,
+            jbody,
+            (jnp.int32(0), row_lab, row_gap, last_lab, last_gap, mx),
         )
 
         wrow = jnp.where(act, n0, N)  # row N is OOB -> dropped
@@ -365,13 +406,14 @@ def _make_duplex_step(
         return row_fn, rows_fn
 
     def step(carry_l2, xs):
-        carry, l2, root_gap = carry_l2
+        carry, l2, root_gap, length = carry_l2
         p1row, lo, hi, t = xs
         row_fn, rows_fn = l2_row_fn_factory(l2)
 
-        env_bad = (lo >= hi) | (lo > carry.last_upper)
+        in_range = t < length
+        env_bad = in_range & ((lo >= hi) | (lo > carry.last_upper))
         alive = carry.err == errors.OK
-        active = alive & ~env_bad
+        active = alive & in_range & ~env_bad
         err0 = jnp.where(
             alive & env_bad, errors.INVALID_ENVELOPE, carry.err
         ).astype(jnp.int32)
@@ -529,7 +571,7 @@ def _make_duplex_step(
             n_nodes=n_nodes,
             err=err,
         )
-        return (new_carry, l2, root_gap), None
+        return (new_carry, l2, root_gap, length), None
 
     return step
 
@@ -578,6 +620,7 @@ def duplex_device(
     hi: jnp.ndarray,  # [T1] i32 clamped upper bounds
     threshold_log: jnp.ndarray,
     init_state: jnp.ndarray,  # scalar i32 (CRF; 0 otherwise)
+    length: Optional[jnp.ndarray] = None,  # scalar i32 valid t1 steps
     *,
     beam_size: int,
     collapse_repeats: bool,
@@ -589,6 +632,8 @@ def duplex_device(
     crf: bool,
 ):
     T1 = l1.shape[0]
+    if length is None:
+        length = jnp.int32(T1)
     A1 = l1.shape[-1]
     A = A1 - 1
     S = l1.shape[1] if crf else 1
@@ -611,7 +656,9 @@ def duplex_device(
         T2=l2.shape[0],
     )
     xs = (l1, lo, hi, jnp.arange(T1, dtype=jnp.int32))
-    (carry, _, _), _ = jax.lax.scan(step, (carry, l2, root_gap), xs)
+    (carry, _, _, _), _ = jax.lax.scan(
+        step, (carry, l2, root_gap, jnp.asarray(length, jnp.int32)), xs
+    )
 
     times = jnp.zeros_like(carry.label)  # duplex returns no path
     labels_rev, _, count = _traceback(
@@ -620,13 +667,61 @@ def duplex_device(
     return {"labels_rev": labels_rev, "count": count, "err": carry.err}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beam_size", "collapse_repeats", "max_nodes", "W", "Wr", "Wext",
+        "needs_ext", "crf",
+    ),
+)
+def duplex_exact_batch(
+    l1,  # [B, T1, A+1] log probs ([B, T1, S, A+1] for crf)
+    l2,  # [B, T2, A+1]
+    root_gap,  # [B, Wr]
+    lo,  # [B, T1] i32 per-pair envelopes
+    hi,  # [B, T1] i32
+    threshold_log,
+    init_states,  # [B] i32
+    lengths,  # [B] i32 valid t1 steps per read
+    *,
+    beam_size: int,
+    collapse_repeats: bool,
+    max_nodes: int,
+    W: int,
+    Wr: int,
+    Wext: int,
+    needs_ext: bool,
+    crf: bool,
+):
+    """vmap of the bit-exact tree engine over a batch of pairs.
+
+    Batching amortizes the sequential band DP across reads (XLA vectorizes
+    every inner step over B), turning ~0.26 s/pair single calls into tens
+    of pairs/s; memory is B x max_nodes x W x 8 bytes of band tables."""
+    fn = lambda a, b, rg, l, h, s, n: duplex_device(
+        a, b, rg, l, h, threshold_log, s, n,
+        beam_size=beam_size, collapse_repeats=collapse_repeats,
+        max_nodes=max_nodes, W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext,
+        crf=crf,
+    )
+    return jax.vmap(fn)(l1, l2, root_gap, lo, hi, init_states, lengths)
+
+
 # ------------------------------------------------------------- host wrappers
 
 
 def _prep_envelope(envelope: np.ndarray, T2: int):
     lo = np.maximum(envelope[:, 0], 0).astype(np.int32)
     hi = np.minimum(envelope[:, 1], T2).astype(np.int32)
-    W = int(max(hi.max() - lo.min() + 1, 1)) if len(hi) else 1
+    # tight band width: replay the offset/upper evolution exactly like the
+    # fast engine's EnvPrep — discard_until only fires at extension steps,
+    # so the widest window any band ever holds is far below the loose
+    # hi.max()-lo.min()+1 span for moving envelopes (6x smaller tables on a
+    # diagonal alignment envelope)
+    from .duplex_fast import _prep_envelope_fast
+
+    ep = _prep_envelope_fast(envelope, T2)
+    W = ep.W
     Wr = int(min(max(envelope[0, 1], 0), T2)) + 1 if len(hi) else 1
     needs_ext = bool(np.any(hi[1:] > hi[:-1]))
     Wext = int(max(hi.max() - hi.min(), 0)) if needs_ext else 0

@@ -210,14 +210,11 @@ class BatchViterbiDecoder:
         ]
 
 
-def decode_and_count(
-    mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes=None
-):
-    """shard_map decode with an explicit psum over the data axis: every shard
-    decodes its reads and all shards agree on the global (decoded, errored)
-    counters — the cross-host merge the reference never had.  Uses the fast
-    engine (``max_nodes`` is accepted for API compatibility and ignored)."""
-    del max_nodes
+@functools.lru_cache(maxsize=64)
+def _decode_and_count_fn(mesh, beam_size, threshold, collapse):
+    """Cached jitted shard_map — rebuilding the jit wrapper per call would
+    recompile on every invocation (a 10x hit measured by
+    tools/scaling_bench.py's overhead mode)."""
 
     def shard_fn(p, l):
         out = beam_fast_ops.beam_search_fast_batch(
@@ -232,17 +229,32 @@ def decode_and_count(
         totals = jax.lax.psum(jnp.stack([ok, bad]), DATA_AXIS)
         return out, totals
 
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P()),
-        # per-shard decode is communication-free until the final psum; the
-        # scan carry starts from replicated constants, which the varying-axes
-        # checker would otherwise reject
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P()),
+            # per-shard decode is communication-free until the final psum;
+            # the scan carry starts from replicated constants, which the
+            # varying-axes checker would otherwise reject
+            check_vma=False,
+        )
     )
-    return jax.jit(fn)(probs, lengths)
+
+
+def decode_and_count(
+    mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes=None
+):
+    """shard_map decode with an explicit psum over the data axis: every shard
+    decodes its reads and all shards agree on the global (decoded, errored)
+    counters — the cross-host merge the reference never had.  Uses the fast
+    engine (``max_nodes`` is accepted for API compatibility and ignored)."""
+    del max_nodes
+    fn = _decode_and_count_fn(
+        mesh, int(beam_size), float(threshold), bool(collapse)
+    )
+    return fn(probs, lengths)
 
 
 def _auto_bucket_edges(lengths: Sequence[int], min_edge: int = 128) -> List[int]:
@@ -343,11 +355,15 @@ def decode_many(
 
 
 class BatchCrfBeamDecoder:
-    """Batched, mesh-sharded CRF prefix beam search (fast engine).
+    """Batched, mesh-sharded CRF prefix beam search.
 
     Accepts [B, T, S, A+1] f32 posteriors, [B, S] init states and [B]
     lengths; sequence-exact vs the reference crf_beam_search (ops/beam_fast
     contract).
+
+    ``engine``: "pallas" (fused kernel, ops/beam_pallas.py — bit-identical
+    to "fast", much faster; interpreted off-TPU), "fast" (XLA scan), or
+    None (auto: pallas on TPU when the alphabet fits, else fast).
     """
 
     def __init__(
@@ -358,6 +374,7 @@ class BatchCrfBeamDecoder:
         beam_size: int = 5,
         beam_cut_threshold: float = 0.0,
         mesh=None,
+        engine: Optional[str] = None,
     ):
         self.alphabet = normalize_alphabet(alphabet)
         self.T = int(T)
@@ -366,15 +383,46 @@ class BatchCrfBeamDecoder:
         self.threshold = np.float32(beam_cut_threshold)
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
-        kernel = functools.partial(
-            beam_fast_ops.crf_beam_search_fast_batch,
-            beam_size=self.beam_size,
-        )
-        self._fn = jax.jit(
-            lambda p, s, l: kernel(p, s, l, self.threshold),
-            in_shardings=(self._sharding,) * 3,
-            out_shardings=self._sharding,
-        )
+        if engine is None:
+            # kernel block VMEM: 16 * n_state * 8 * 128 * 4 bytes must fit
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and len(self.alphabet) <= 8
+                and self.n_state <= 256
+                else "fast"
+            )
+        if engine not in ("pallas", "fast"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        if engine == "pallas":
+            from ..ops import beam_pallas as beam_pallas_ops
+
+            kernel = functools.partial(
+                beam_pallas_ops.crf_beam_search_pallas_batch,
+                beam_size=self.beam_size,
+                interpret=jax.default_backend() != "tpu",
+            )
+            # a pallas_call does not partition under pjit — shard-map it
+            self._fn = jax.jit(
+                jax.shard_map(
+                    lambda p, s, l: kernel(p, s, l, self.threshold),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 3,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+        else:
+            kernel = functools.partial(
+                beam_fast_ops.crf_beam_search_fast_batch,
+                beam_size=self.beam_size,
+            )
+            self._fn = jax.jit(
+                lambda p, s, l: kernel(p, s, l, self.threshold),
+                in_shardings=(self._sharding,) * 3,
+                out_shardings=self._sharding,
+            )
 
     def decode_arrays(self, probs, init_states, lengths):
         return self._fn(
@@ -436,7 +484,7 @@ class BatchDuplexDecoder:
         self.collapse = bool(collapse_repeats)
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
-        if engine not in (None, "pallas", "fast"):
+        if engine not in (None, "pallas", "fast", "exact"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
 
@@ -533,17 +581,81 @@ class BatchDuplexDecoder:
 
         engine = self.engine
         if engine is None:
-            engine = (
-                "pallas"
-                if jax.default_backend() == "tpu"
-                and self._pallas_eligible(ep, shared_env)
-                else "fast"
+            # auto is parity-first, mirroring api._pick_duplex_engine: the
+            # slot-band engines are sequence-exact only for constant-window
+            # envelopes; moving windows go to the bit-exact tree engine
+            # (batched + 20x faster than round 1, but orders of magnitude
+            # below the Pallas fast kernel — pass engine="pallas" to trade
+            # reference band-reuse semantics for throughput)
+            constant_window = bool(
+                np.all(los == los[0, 0]) and np.all(his == his[0, 0])
             )
+            if constant_window:
+                engine = (
+                    "pallas"
+                    if jax.default_backend() == "tpu"
+                    and self._pallas_eligible(ep, shared_env)
+                    else "fast"
+                )
+            else:
+                engine = "exact"
         if engine == "pallas" and not self._pallas_eligible(ep, shared_env):
             raise ValueError(
                 "engine='pallas' needs a shared monotone envelope with "
                 "band width <= 256 (see BatchDuplexDecoder._pallas_eligible)"
             )
+
+        if engine == "exact":
+            from ..ops import duplex as duplex_ops
+
+            eps = [
+                duplex_ops._prep_envelope(np.asarray(envelopes[b]), T2)
+                for b in range(1 if shared_env else B)
+            ]
+            We = max(e[2] for e in eps)
+            Wre = max(e[3] for e in eps)
+            ne = any(e[4] for e in eps)
+            Wxe = max(e[5] for e in eps)
+            N = duplex_ops._duplex_max_nodes(
+                T1, self.beam_size, len(self.alphabet) - 1, We
+            )
+            # chunk so band tables stay within ~2 GB of HBM per call
+            per_read = N * We * 8
+            n_dev = len(self.mesh.devices.reshape(-1))
+            chunk = max(int(2e9 // max(per_read, 1)), 1) * n_dev
+            outs = []
+            fn = jax.jit(
+                jax.shard_map(
+                    lambda a, c, rg, lo_, hi_, ln: duplex_ops.duplex_exact_batch(
+                        a, c, rg, lo_, hi_, thr,
+                        jnp.zeros(a.shape[0], jnp.int32), ln,
+                        beam_size=self.beam_size,
+                        collapse_repeats=self.collapse,
+                        max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
+                        needs_ext=ne, crf=False,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 6,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+            lengths = np.asarray(lengths, np.int32)
+            # B and chunk are both multiples of the device count
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                outs.append(
+                    jax.device_get(
+                        fn(
+                            l1[s:e], l2[s:e], root_gap[s:e],
+                            los[s:e], his[s:e], lengths[s:e],
+                        )
+                    )
+                )
+            out = {
+                k: np.concatenate([o[k] for o in outs]) for k in outs[0]
+            }
+            return self._assemble(out, B0)
 
         if engine == "pallas":
             from ..ops import duplex_pallas as duplex_pallas_ops
@@ -583,6 +695,9 @@ class BatchDuplexDecoder:
             )(l1, l2, root_gap, los, his, np.asarray(lengths, np.int32))
             out = jax.device_get(out)
 
+        return self._assemble(out, B0)
+
+    def _assemble(self, out, B0):
         from ..native import detokenize_batch
 
         counts = np.where(
