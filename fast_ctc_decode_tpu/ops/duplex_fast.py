@@ -314,7 +314,7 @@ def _extend_one_slot(
 
 def _make_step(
     l2, root_gap, length, *, A, S, K, W, Wr, Wext, collapse, crf, needs_ext,
-    static_window, rel_window, D, thr, T2
+    static_window, rel_window, D, thr, T2, l2T=None, l2pad=None
 ):
     KA = K * A
     lbl = jnp.arange(A, dtype=jnp.int32)
@@ -359,11 +359,14 @@ def _make_step(
         if crf:
 
             def l2r(t2, state, lastlab):
-                r = jnp.take(
-                    l2.reshape(T2 * S, A + 1),
-                    jnp.clip(t2, 0, T2 - 1) * S + jnp.clip(state, 0, S - 1),
-                    axis=0,
-                )
+                # single-row dynamic_slice from the state-major copy — a
+                # flat (t2*S + state) take is a gather, which is
+                # catastrophically slow inside a scan on TPU
+                r = jax.lax.dynamic_slice(
+                    l2T,
+                    (jnp.clip(state, 0, S - 1), jnp.clip(t2, 0, T2 - 1), 0),
+                    (1, 1, A + 1),
+                )[0, 0]
                 return r[0], jnp.take(r, jnp.clip(lastlab, 0, A - 1) + 1)
 
         elif rel_window:
@@ -490,10 +493,22 @@ def _make_step(
             cells = lo + jnp.arange(W, dtype=jnp.int32)  # absolute t2
         cmask = cells < hi
         if crf:
-            flat_idx = jnp.clip(cells, 0, T2 - 1)[None, :] * S + jnp.clip(
-                carry.state, 0, S - 1
-            )[:, None]
-            rows = jnp.take(l2.reshape(T2 * S, A + 1), flat_idx, axis=0)  # [K, W, A+1]
+            l2w = jax.lax.dynamic_slice(
+                l2pad, (cells[0], 0, 0), (W, l2pad.shape[1], A + 1)
+            )  # [W, S2, A1]; l2pad is padded so the start never clamps
+
+            def tip_rows(s_k):
+                cur, size = l2w, l2pad.shape[1]
+                while size > 1:
+                    half = size // 2
+                    hi_sel = (s_k & half) != 0
+                    cur = jnp.where(hi_sel, cur[:, half:, :], cur[:, :half, :])
+                    size = half
+                return cur[:, 0, :]
+
+            rows = jnp.stack(
+                [tip_rows(jnp.clip(carry.state[k], 0, S - 1)) for k in range(K)]
+            )  # [K, W, A+1]
         elif static_window:
             pad = jnp.broadcast_to(l2[-1:], (W - T2, A + 1)) if W > T2 else l2[:0]
             rows = jnp.concatenate([l2, pad], axis=0)  # [W, A+1], no gather
@@ -795,20 +810,39 @@ def duplex_fast_device(
         length = jnp.int32(T1)
 
     carry = _init_carry(K, W, init_state)
+    l2T = l2pad = None
+    if crf:
+        # state-major copy for single-row reads + t2-major copy with the
+        # state axis padded to a power of two for the window select tree;
+        # both padded past T2 so dynamic slices never clamp-shift
+        S2 = 1 << max(S - 1, 1).bit_length() if S & (S - 1) else S
+        l2T = jnp.pad(
+            jnp.transpose(l2, (1, 0, 2)), ((0, 0), (0, W + 2), (0, 0)),
+            mode="edge",
+        )
+        l2pad = jnp.pad(
+            l2, ((0, W + 2), (0, S2 - S), (0, 0)), mode="edge"
+        )
     step = _make_step(
         l2, root_gap, jnp.asarray(length, jnp.int32),
         A=A, S=S, K=K, W=W, Wr=Wr, Wext=Wext,
         collapse=collapse_repeats, crf=crf, needs_ext=needs_ext,
         static_window=static_window, rel_window=rel_window, D=D,
         thr=jnp.asarray(threshold_log, jnp.float32), T2=T2,
+        l2T=l2T, l2pad=l2pad,
     )
     ts = jnp.arange(T1, dtype=jnp.int32)
     if rel_window:
         # per-step window rows, gathered ONCE outside the scan (per-step
-        # gathers of l2/root rows were the entire banded decode cost)
+        # gathers of l2/root rows were the entire banded decode cost).
+        # CRF reads l2 through the select tree over l2pad instead, so only
+        # the root window is pre-gathered there.
         wbs = lo - 1  # monotone lo (host-checked) => wb == cummax(lo) - 1
         cols = wbs[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-        l2win_seq = jnp.take(l2, jnp.clip(cols, 0, T2 - 1), axis=0)
+        if crf:
+            l2win_seq = jnp.zeros((T1, 1, 1), jnp.float32)
+        else:
+            l2win_seq = jnp.take(l2, jnp.clip(cols, 0, T2 - 1), axis=0)
         ridx = cols + 1
         rootwin_seq = jnp.where(
             (ridx >= 0) & (ridx < Wr),
@@ -958,7 +992,8 @@ def crf_beam_search_duplex_fast_host(
         beam_size=int(beam_size),
         collapse_repeats=False,
         W=W, Wr=Wr, Wext=ep.Wext, needs_ext=ep.needs_ext, crf=True,
-        static_window=ep.static_window,  # rel mode is plain-CTC only
+        static_window=ep.static_window,
+        rel_window=ep.rel_window, D=ep.D,
     )
     errors.raise_for_status(int(out["err"]))
     n = int(out["count"])
@@ -970,7 +1005,7 @@ def crf_beam_search_duplex_fast_host(
     jax.jit,
     static_argnames=(
         "beam_size", "collapse_repeats", "W", "Wr", "Wext", "needs_ext",
-        "crf", "static_window", "rel_window", "D"
+        "crf", "static_window", "rel_window", "D", "shared_env"
     ),
 )
 def duplex_fast_batch(
@@ -993,12 +1028,21 @@ def duplex_fast_batch(
     static_window: bool = False,
     rel_window: bool = False,
     D: int = 0,
+    shared_env: bool = False,
 ):
-    """vmap of duplex_fast_device over a batch of read pairs."""
+    """vmap of duplex_fast_device over a batch of read pairs.
+
+    ``shared_env`` broadcasts one [T1] lo/hi pair over the batch
+    (in_axes=None): window starts become per-step *scalars* inside the
+    vmapped scan, so the CRF engine's window slice stays a dynamic_slice
+    instead of re-lowering to a batched gather."""
     fn = lambda a, b, rg, l, h, s, n: duplex_fast_device(
         a, b, rg, l, h, threshold_log, s, n,
         beam_size=beam_size, collapse_repeats=collapse_repeats,
         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=crf,
         static_window=static_window, rel_window=rel_window, D=D,
     )
-    return jax.vmap(fn)(l1, l2, root_gap, lo, hi, init_states, lengths)
+    env_ax = None if shared_env else 0
+    return jax.vmap(fn, in_axes=(0, 0, 0, env_ax, env_ax, 0, 0))(
+        l1, l2, root_gap, lo, hi, init_states, lengths
+    )

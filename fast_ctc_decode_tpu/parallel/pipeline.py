@@ -455,12 +455,20 @@ class BatchCrfBeamDecoder:
 
 
 class BatchDuplexDecoder:
-    """Batched, mesh-sharded 2-D duplex pair-consensus decoder (fast engine).
+    """Batched, mesh-sharded 2-D duplex pair-consensus decoder.
 
-    Static shapes per batch: T1, T2 (bucket upstream).  Envelopes are
-    per-pair ``[B, T1, 2]`` (default full range); full-range envelopes are
-    sequence-exact vs the reference, banded ones follow the fast engine's
-    documented window-rebuild semantics (ops/duplex_fast.py).
+    Static shapes per batch: T1, T2 (bucket upstream).  Envelopes: None
+    (full range), a shared ``[T1, 2]`` array, or per-pair ``[B, T1, 2]``.
+
+    ``engine``:
+      - None (auto, parity-first): constant-window envelopes run the
+        fused Pallas slot-band kernel (TPU) or the XLA fast engine —
+        sequence-exact there; moving windows run the bit-exact tree
+        engine, batched (``ops.duplex.duplex_exact_batch``).
+      - "pallas" / "fast": slot-band semantics everywhere (re-derived
+        prefixes rebuild bands over the current window — measurably
+        different from the reference on moving windows, ~100x faster).
+      - "exact": the tree engine for everything.
     """
 
     def __init__(
@@ -677,6 +685,14 @@ class BatchDuplexDecoder:
             )(l1, l2, root_gap, np.asarray(lengths, np.int32))
             out = jax.device_get(out)
         else:
+            # shared envelopes ride in_axes=None so window starts stay
+            # scalars inside the vmapped scan (see duplex_fast_batch)
+            if shared_env:
+                lo_a, hi_a = los[0], his[0]
+                env_spec = (P(),) * 2
+            else:
+                lo_a, hi_a = los, his
+                env_spec = (P(DATA_AXIS),) * 2
             out = jax.jit(
                 jax.shard_map(
                     lambda a, c, rg, lo, hi, ln: self._ops.duplex_fast_batch(
@@ -686,13 +702,14 @@ class BatchDuplexDecoder:
                         collapse_repeats=self.collapse,
                         W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
                         static_window=static_window, rel_window=rel_window, D=D,
+                        shared_env=shared_env,
                     ),
                     mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 6,
+                    in_specs=(P(DATA_AXIS),) * 3 + env_spec + (P(DATA_AXIS),),
                     out_specs=P(DATA_AXIS),
                     check_vma=False,
                 )
-            )(l1, l2, root_gap, los, his, np.asarray(lengths, np.int32))
+            )(l1, l2, root_gap, lo_a, hi_a, np.asarray(lengths, np.int32))
             out = jax.device_get(out)
 
         return self._assemble(out, B0)

@@ -206,3 +206,64 @@ class TestReviewRegressions:
         f = beam_search_duplex(p1, p2, "NACG", engine="fast")
         e = beam_search_duplex(p1, p2, "NACG", engine="exact")
         assert f == e
+
+
+class TestCrfRelWindow:
+    def test_crf_constant_offset_window_matches_exact(self):
+        # a constant non-full window rides the window-relative kernel path
+        # (monotone lo, not static) and is sequence-exact vs the tree
+        # engine (the window never moves, so rebuilt bands == reused bands)
+        rng = np.random.RandomState(17)
+        T1, T2, S, A1 = 14, 16, 4, 4
+        n1 = rng.rand(T1, S, A1).astype(np.float32)
+        n1 /= n1.sum(-1, keepdims=True)
+        n2 = rng.rand(T2, S, A1).astype(np.float32)
+        n2 /= n2.sum(-1, keepdims=True)
+        i1 = rng.rand(S).astype(np.float32)
+        i2 = rng.rand(S).astype(np.float32)
+        env = np.zeros((T1, 2), np.int64)
+        env[:, 1] = 12  # constant window [0, 12) with hi < T2: rel path
+        ep = duplex_fast._prep_envelope_fast(env, T2)
+        assert ep.rel_window and not ep.static_window
+        got = crf_beam_search_duplex(
+            n1, i1, n2, i2, "NACG", envelope=env, engine="fast"
+        )
+        want = crf_beam_search_duplex(
+            n1, i1, n2, i2, "NACG", envelope=env, engine="exact"
+        )
+        assert got == want
+
+    def test_crf_moving_banded_strong_signal(self):
+        # moving windows follow slot-rebuild semantics; on unambiguous
+        # consensus data the decoded sequence must still match the exact
+        # engine's
+        labels = [0, 1, 2, 0, 2]
+        A1 = 4
+        S = 4
+        rows = []
+        for l in labels:
+            rows.append(l + 1)
+            rows.append(0)
+        T = len(rows)
+        net = np.full((T, S, A1), 0.02, np.float32)
+        for i, r in enumerate(rows):
+            net[i, :, r] = 1.0 - 0.02 * (A1 - 1)
+        net /= net.sum(-1, keepdims=True)
+        init = np.ones((S,), np.float32) / S
+        env = np.zeros((T, 2), np.int64)
+        for i in range(T):
+            env[i, 0] = max(0, i - 3)
+            env[i, 1] = min(T, i + 4)
+        env[:, 0] = np.maximum.accumulate(env[:, 0])
+        last = 0
+        for i in range(T):
+            env[i, 0] = min(env[i, 0], last)
+            env[i, 1] = max(env[i, 1], env[i, 0] + 1)
+            last = max(last, env[i, 1])
+        got = crf_beam_search_duplex(
+            net, init, net, init, "NACG", envelope=env, engine="fast"
+        )
+        want = crf_beam_search_duplex(
+            net, init, net, init, "NACG", envelope=env, engine="exact"
+        )
+        assert got == want == "".join("ACG"[l] for l in labels)
