@@ -157,7 +157,11 @@ def _build_bands(carry, l2_rows_fn, root_gap, lo, hi, is_rep, tstate, N, A, K, W
         return (lab_new, gap_new), (lab_new, gap_new)
 
     init = (jnp.full((K, A), NEG), jnp.full((K, A), NEG))
-    _, (labs, gaps) = jax.lax.scan(step, init, jnp.arange(W, dtype=jnp.int32))
+    # the per-cell work is tiny ([K, A] elementwise), so the sequential
+    # band scan is dominated by per-step scan overhead — unroll amortizes it
+    _, (labs, gaps) = jax.lax.scan(
+        step, init, jnp.arange(W, dtype=jnp.int32), unroll=8
+    )
     blab = jnp.moveaxis(labs, 0, -1)  # [K, A, W]
     bgap = jnp.moveaxis(gaps, 0, -1)
     tot = ls_add(blab, bgap)

@@ -134,16 +134,21 @@ class BatchBeamDecoder:
         """Full decode: returns [(sequence, path, err_code)] per read.
         Reads that fail keep their status code instead of raising, so one
         bad read cannot abort a batch (reference would raise per call).
-        String assembly uses the native C++ detokenizer when available."""
+        String assembly uses the native C++ detokenizer when available.
+        Per-stage wall times land in ``utils.profiling.METRICS``."""
         from ..native import detokenize_batch
+        from ..utils import profiling
 
-        out = jax.device_get(self.decode_arrays(probs, lengths))
-        counts = np.where(
-            np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
-        ).astype(np.int32)
-        seqs = detokenize_batch(
-            np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
-        )
+        B = int(np.asarray(probs).shape[0])
+        with profiling.stage("beam.device", reads=B):
+            out = jax.device_get(self.decode_arrays(probs, lengths))
+        with profiling.stage("beam.detok"):
+            counts = np.where(
+                np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
+            ).astype(np.int32)
+            seqs = detokenize_batch(
+                np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
+            )
         res = []
         for seq, times_rev, n, err in zip(
             seqs, out["times_rev"], counts, out["err"]
@@ -315,9 +320,14 @@ def decode_many(
         "collapse_repeats": bool(collapse_repeats),
         "engine": engine,
     }
+    from ..utils import profiling
+
     ckpt = DecodeCheckpoint.load_or_create(checkpoint_path, meta)
     try:
         if ckpt.cursor >= len(reads):
+            profiling.log.info(
+                "decode_many: all %d reads already in checkpoint", len(reads)
+            )
             return ckpt.results_in_order(len(reads))
 
         buckets = bucket_reads(reads, edges)
@@ -337,18 +347,35 @@ def decode_many(
             )
             n_dev = len(dec.mesh.devices.reshape(-1))
             bs = max(batch_size - batch_size % n_dev, n_dev)
+            profiling.log.info(
+                "decode_many: bucket T<=%d, %d reads, batch=%d", edge,
+                len(todo), bs,
+            )
             for s in range(0, len(todo), bs):
                 chunk = todo[s : s + bs]
                 n = len(chunk)
                 # partial batches ride length-0 padding rows (decoded as
                 # empty in O(1) work), never duplicate decodes
-                probs = np.zeros((bs, edge, A1), np.float32)
-                lengths = np.zeros((bs,), np.int32)
-                for j, i in enumerate(chunk):
-                    r = reads[i]
-                    probs[j, : r.shape[0]] = r
-                    lengths[j] = r.shape[0]
-                ckpt.record(chunk, dec.decode(probs, lengths)[:n])
+                with profiling.stage("decode_many.pad"):
+                    probs = np.zeros((bs, edge, A1), np.float32)
+                    lengths = np.zeros((bs,), np.int32)
+                    for j, i in enumerate(chunk):
+                        r = reads[i]
+                        probs[j, : r.shape[0]] = r
+                        lengths[j] = r.shape[0]
+                res = dec.decode(probs, lengths)[:n]
+                with profiling.stage("decode_many.checkpoint"):
+                    ckpt.record(chunk, res)
+                bad = sum(1 for r in res if r[2] != errors.OK)
+                if bad:
+                    profiling.log.warning(
+                        "decode_many: %d/%d reads errored in batch", bad, n
+                    )
+        profiling.log.info(
+            "decode_many: %d reads done; stage seconds: %s",
+            len(reads),
+            {k: round(v, 3) for k, v in profiling.METRICS.stages.items()},
+        )
         return ckpt.results_in_order(len(reads))
     finally:
         ckpt.close()

@@ -60,3 +60,37 @@ def block(tree):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
     return tree
+
+
+# ------------------------------------------------------- pipeline metrics
+
+import logging
+
+log = logging.getLogger("fast_ctc_decode_tpu")
+
+#: process-wide per-stage metrics, populated by the batch pipeline:
+#: stage -> seconds, plus read/error counters.  Reset with reset_metrics().
+METRICS = Counters()
+
+
+def reset_metrics() -> Counters:
+    """Reset and return the process-wide pipeline metrics object."""
+    global METRICS
+    METRICS = Counters()
+    return METRICS
+
+
+@contextlib.contextmanager
+def stage(name: str, reads: int = 0, frames: int = 0):
+    """Record a pipeline stage into the process-wide METRICS and emit a
+    DEBUG log line with the stage wall time."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        METRICS.seconds += dt
+        METRICS.reads += reads
+        METRICS.frames += frames
+        METRICS.stages[name] = METRICS.stages.get(name, 0.0) + dt
+        log.debug("stage %s: %.3fs (reads=%d)", name, dt, reads)

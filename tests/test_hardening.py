@@ -161,3 +161,22 @@ class TestMultiCharAlphabetBatch:
                 read, "NACGT", qstring=True, qscale=0.9, qbias=0.1
             )
             assert (seq, path) == (exp_seq, exp_path)
+
+
+class TestObservability:
+    def test_pipeline_stage_metrics_and_logs(self, caplog):
+        import logging
+
+        from fast_ctc_decode_tpu.parallel.pipeline import decode_many
+        from fast_ctc_decode_tpu.utils import profiling
+
+        profiling.reset_metrics()
+        reads = [rand_read(t, 5, 70 + i) for i, t in enumerate([12, 20, 9])]
+        with caplog.at_level(logging.INFO, logger="fast_ctc_decode_tpu"):
+            res = decode_many(reads, "NACGT", T=20, batch_size=8)
+        assert len(res) == 3
+        stages = profiling.METRICS.stages
+        assert "beam.device" in stages and "beam.detok" in stages
+        assert "decode_many.checkpoint" in stages
+        assert profiling.METRICS.reads >= 3
+        assert any("decode_many" in r.message for r in caplog.records)
