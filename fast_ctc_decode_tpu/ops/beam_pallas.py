@@ -430,6 +430,7 @@ def _crf_beam_kernel(
     KP: int,
     A: int,
     S: int,
+    S2: int,
     TB: int,
 ):
     """CRF prefix beam search (reference /root/reference/src/search.rs:38-157)
@@ -473,7 +474,7 @@ def _crf_beam_kernel(
     lens = len_ref[:]
     slot = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0)
     in_beam = slot < K
-    SBITS = max(S - 1, 1).bit_length()
+    SBITS = max(S2 - 1, 1).bit_length()
 
     def step(jt, _):
         t = j * TB + jt
@@ -495,20 +496,16 @@ def _crf_beam_kernel(
 
         def tip_row(s_k):
             """(8, Bt) probability rows probs[t, s_k, :] for one tip:
-            binary select tree over the S axis driven by s_k's bits."""
-            cur = block  # (S*8, Bt) value
-            size = S
-            for bit in range(SBITS - 1, -1, -1):
-                half = 1 << bit
-                if size <= half:
-                    continue
+            binary select tree over the (power-of-two padded) state axis
+            driven by s_k's bits."""
+            cur = block  # (S2*8, Bt) value
+            size = S2
+            while size > 1:
+                half = size // 2
                 hi_sel = (s_k & np.int32(half)) != 0
-                top = cur[half * 8 : half * 8 + (size - half) * 8, :]
-                bot = cur[0 : (size - half) * 8, :]
-                cur = jnp.where(hi_sel, top, bot)
-                size = max(size - half, half)
-                cur = cur[0 : size * 8, :]
-            return cur[0:8, :]
+                cur = jnp.where(hi_sel, cur[half * 8 :, :], cur[: half * 8, :])
+                size = half
+            return cur
 
         prows = [tip_row(state[k : k + 1, :]) for k in range(K)]
         lg = lab + gap
@@ -706,10 +703,13 @@ def crf_beam_search_pallas_batch(
     Tp = -(-T // TB) * TB
     Bp = -(-B // Bt) * Bt
 
+    # state axis padded to a power of two for the kernel's select tree
+    # (real states are < S, so pad rows are never selected)
+    S2 = S if S & (S - 1) == 0 else 1 << S.bit_length()
     probs_p = jnp.pad(
-        probs, ((0, Bp - B), (0, Tp - T), (0, 0), (0, 8 - A1))
+        probs, ((0, Bp - B), (0, Tp - T), (0, S2 - S), (0, 8 - A1))
     )
-    probs_t = jnp.transpose(probs_p, (1, 2, 3, 0)).reshape(Tp, S * 8, Bp)
+    probs_t = jnp.transpose(probs_p, (1, 2, 3, 0)).reshape(Tp, S2 * 8, Bp)
     SP = -(-S // 8) * 8
     init_t = jnp.transpose(
         jnp.pad(
@@ -726,7 +726,7 @@ def crf_beam_search_pallas_batch(
 
     grid = (Bp // Bt, Tp // TB)
     kernel = functools.partial(
-        _crf_beam_kernel, K=K, KP=KP, A=A, S=S, TB=TB
+        _crf_beam_kernel, K=K, KP=KP, A=A, S=S, S2=S2, TB=TB
     )
     ids_log, fin, err = pl.pallas_call(
         kernel,
@@ -735,7 +735,7 @@ def crf_beam_search_pallas_batch(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((TB, S * 8, Bt), lambda i, j: (j, 0, i)),
+                pl.BlockSpec((TB, S2 * 8, Bt), lambda i, j: (j, 0, i)),
                 pl.BlockSpec((SP, Bt), lambda i, j: (0, i)),
                 pl.BlockSpec((1, Bt), lambda i, j: (0, i)),
             ],

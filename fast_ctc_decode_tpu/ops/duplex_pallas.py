@@ -76,7 +76,11 @@ A1P = 8  # l2 rows are padded to 8 per timestep for aligned dynamic slices
 
 
 def _ls_add(a, b):
-    """LogSpace + (logsumexp), reference operand ordering (duplex.rs:42-63)."""
+    """LogSpace + (logsumexp), reference operand ordering (duplex.rs:42-63).
+
+    Deliberately NOT imported from duplex_fast: that module's NEG is a
+    module-level jnp constant, which Mosaic rejects as a captured const
+    inside Pallas kernels (np.float32 here)."""
     cond = a <= b
     big = jnp.where(cond, b, a)
     small = jnp.where(cond, a, b)
@@ -201,7 +205,11 @@ def _duplex_kernel(
         @pl.when(jnp.logical_not(env_bad))
         def _body():
             _run_step(jt, t, lo, hi, d, wb, lastup, active)
-            lu_ref[0] = jnp.maximum(lastup, hi)
+            # assignment, not running max: the XLA engine sets
+            # last_upper = hi, so a dipping-then-recovering upper bound
+            # must re-extend from the dipped value (the recomputation of
+            # already-present cells is idempotent — pure DP)
+            lu_ref[0] = hi
 
         return 0
 

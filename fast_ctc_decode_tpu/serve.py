@@ -70,6 +70,15 @@ def _decode_single(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any
 
 
 _DECODER_CACHE: Dict[Tuple, Any] = {}
+_DECODER_CACHE_MAX = 16
+
+
+def _cache_put(key, value):
+    """Insert with a FIFO bound so a long-running server cannot pin an
+    unbounded set of compiled decoders."""
+    if len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
+        _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
+    _DECODER_CACHE[key] = value
 
 
 def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]:
@@ -85,6 +94,16 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
         raise ValueError("lengths must have one entry per read")
     if np.any(lengths < 0) or np.any(lengths > T):
         raise ValueError("lengths must be in [0, T]")
+
+    # bucket T to power-of-two edges so requests with naturally varying
+    # read lengths share compiled decoders instead of compiling per T
+    Tb = pipeline._auto_bucket_edges([T])[-1]
+    if Tb > T:
+        posteriors = np.concatenate(
+            [posteriors, np.zeros((B, Tb - T, posteriors.shape[2]), np.float32)],
+            axis=1,
+        )
+        T = Tb
 
     # pad to a full device batch with length-0 dummy reads (decoded empty)
     from .parallel.mesh import make_data_mesh
@@ -105,10 +124,10 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
             bool(req.get("collapse_repeats", True)),
         )
         if key not in _DECODER_CACHE:
-            _DECODER_CACHE[key] = pipeline.BatchBeamDecoder(
+            _cache_put(key, pipeline.BatchBeamDecoder(
                 list(alphabet), T=T, beam_size=key[3],
                 beam_cut_threshold=key[4], collapse_repeats=key[5],
-            )
+            ))
         dec = _DECODER_CACHE[key]
         res = dec.decode(posteriors, lengths)[:B]
         return {
@@ -124,10 +143,10 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
             float(req.get("qbias", 0.0)),
         )
         if key not in _DECODER_CACHE:
-            _DECODER_CACHE[key] = pipeline.BatchViterbiDecoder(
+            _cache_put(key, pipeline.BatchViterbiDecoder(
                 list(alphabet), T=T, collapse_repeats=key[3],
                 qscale=key[4], qbias=key[5],
-            )
+            ))
         dec = _DECODER_CACHE[key]
         res = dec.decode(
             posteriors, lengths, qstring=bool(req.get("qstring", False))

@@ -58,7 +58,10 @@ class DecodeCheckpoint:
                     try:
                         d = json.loads(line)
                     except json.JSONDecodeError:
-                        break  # truncated trailing line from a crash
+                        # truncated line from a crash mid-append; later
+                        # lines (written after the newline repair in
+                        # _open) are still valid, so keep scanning
+                        continue
                     for i, r in zip(d["i"], d["r"]):
                         ckpt.done[int(i)] = (r[0], list(r[1]), int(r[2]))
         return ckpt
@@ -73,7 +76,18 @@ class DecodeCheckpoint:
             dirname = os.path.dirname(os.path.abspath(self.path))
             os.makedirs(dirname, exist_ok=True)
             fresh = not os.path.exists(self.path)
+            if not fresh and os.path.getsize(self.path) > 0:
+                # a crash can leave a truncated trailing line without a
+                # newline; appending directly would merge the next record
+                # into it, corrupting BOTH lines for future loads
+                with open(self.path, "rb") as f:
+                    f.seek(-1, os.SEEK_END)
+                    needs_newline = f.read(1) != b"\n"
+            else:
+                needs_newline = False
             self._fh = open(self.path, "a")
+            if needs_newline:
+                self._fh.write("\n")
             if fresh or os.path.getsize(self.path) == 0:
                 self._fh.write(json.dumps({"meta": self.meta}) + "\n")
                 self._fh.flush()

@@ -85,12 +85,8 @@ def stage(name: str, reads: int = 0, frames: int = 0):
     """Record a pipeline stage into the process-wide METRICS and emit a
     DEBUG log line with the stage wall time."""
     t0 = time.perf_counter()
-    try:
+    with timed(METRICS, name, reads=reads, frames=frames):
         yield
-    finally:
-        dt = time.perf_counter() - t0
-        METRICS.seconds += dt
-        METRICS.reads += reads
-        METRICS.frames += frames
-        METRICS.stages[name] = METRICS.stages.get(name, 0.0) + dt
-        log.debug("stage %s: %.3fs (reads=%d)", name, dt, reads)
+    log.debug(
+        "stage %s: %.3fs (reads=%d)", name, time.perf_counter() - t0, reads
+    )

@@ -68,3 +68,23 @@ class TestCrfPallasParity:
         dp = BatchCrfBeamDecoder("NACGT", T=T, n_state=S, engine="pallas")
         df = BatchCrfBeamDecoder("NACGT", T=T, n_state=S, engine="fast")
         assert dp.decode(probs, inits, lens) == df.decode(probs, inits, lens)
+
+
+class TestNonPow2States:
+    def test_s9_matches_fast(self):
+        # S=9 (3-base CRF): the select tree pads the state axis to 16;
+        # regression for a trace-time crash on non-power-of-two n_state
+        rng = np.random.RandomState(11)
+        B, T, S, A1, K = 2, 14, 9, 4, 5
+        probs = rng.rand(B, T, S, A1).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        inits = rng.rand(B, S).astype(np.float32)
+        lens = np.full((B,), T, np.int32)
+        po = beam_pallas.crf_beam_search_pallas_batch(
+            probs, inits, lens, np.float32(0.0), beam_size=K,
+            block_t=8, block_b=8, interpret=True,
+        )
+        xo = beam_fast.crf_beam_search_fast_batch(
+            probs, inits, lens, np.float32(0.0), beam_size=K
+        )
+        _assert_same(po, xo, B)

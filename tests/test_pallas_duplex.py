@@ -165,3 +165,20 @@ class TestPallasDuplexParity:
         n2 = random_data(T2, 4, 141)
         got, want = run_both(n1[None], n2[None], diag_env(T1, T2, 4))
         assert got == want
+
+
+class TestDippingUpperBound:
+    def test_hi_dips_then_recovers(self):
+        # last_upper must follow the XLA engine's assignment semantics
+        # (carry.last_upper = hi), not a running max: a dipping upper
+        # bound must re-extend from the dipped value
+        T1, T2 = 12, 12
+        env = np.zeros((T1, 2), np.int64)
+        his = [4, 6, 8, 8, 6, 6, 9, 10, 11, 12, 12, 12]
+        los = [0, 0, 1, 2, 2, 3, 3, 4, 5, 6, 6, 7]
+        env[:, 0] = los
+        env[:, 1] = his
+        n1 = random_data(T1, 4, 77)[None]
+        n2 = random_data(T2, 4, 78)[None]
+        got, want = run_both(n1, n2, env)
+        assert got == want

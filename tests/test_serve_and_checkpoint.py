@@ -245,3 +245,25 @@ class TestWasmGoldens:
         }
         out = decode_request(req)
         assert out == {"seq": "GGAG", "starts": [0, 5, 7, 9]}
+
+
+class TestCrashRecoveryChain:
+    def test_truncated_line_then_append_then_reload(self, tmp_path):
+        # crash leaves a truncated line WITHOUT newline; the next run's
+        # appends must not merge into it (regression: the merged line
+        # poisoned every later record on the third load)
+        from fast_ctc_decode_tpu.utils.checkpoint import DecodeCheckpoint
+
+        ckpt = str(tmp_path / "run.jsonl")
+        c1 = DecodeCheckpoint.load_or_create(ckpt, {"v": 1})
+        c1.record([0], [("A", [0], 0)])
+        c1.close()
+        with open(ckpt, "a") as f:
+            f.write('{"i": [9], "r"')  # no trailing newline
+        c2 = DecodeCheckpoint.load_or_create(ckpt, {"v": 1})
+        assert set(c2.done) == {0}
+        c2.record([1], [("C", [1], 0)])
+        c2.close()
+        c3 = DecodeCheckpoint.load_or_create(ckpt, {"v": 1})
+        assert set(c3.done) == {0, 1}
+        assert c3.done[1] == ("C", [1], 0)
