@@ -14,25 +14,8 @@ from fast_ctc_decode_tpu import beam_search_duplex
 from fast_ctc_decode_tpu.parallel.pipeline import BatchDuplexDecoder
 
 
-def rd(T, A1, seed):
-    rng = np.random.RandomState(seed)
-    x = rng.rand(T, A1).astype(np.float32)
-    return x / np.linalg.norm(x, ord=2, axis=1, keepdims=True)
-
-
-def diag_env(T1, T2, w):
-    env = np.zeros((T1, 2), np.int64)
-    for i in range(T1):
-        c = int(i * T2 / T1)
-        env[i, 0] = max(0, c - w)
-        env[i, 1] = min(T2, c + w + 1)
-    env[:, 0] = np.maximum.accumulate(env[:, 0])
-    last = 0
-    for i in range(T1):
-        env[i, 0] = min(env[i, 0], last)
-        env[i, 1] = max(env[i, 1], env[i, 0] + 1)
-        last = max(last, env[i, 1])
-    return env
+from duplex_helpers import diag_env
+from duplex_helpers import random_data as rd  # noqa: E402
 
 
 class TestBatchedExactEngine:
