@@ -23,7 +23,7 @@ def main():
     from fast_ctc_decode_tpu.ops import beam_fast, beam_pallas
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     T = int(os.environ.get("BENCH_T", "1000"))
     A1 = 5
     beam_size = 5

@@ -551,3 +551,71 @@ def crf_beam_search_fast_batch(probs, init_states, lengths, beam_cut_threshold, 
         "count": count,
         "err": carry.err,
     }
+
+
+def _traceback_scan_batch(fin, ids_log, T, K, A):
+    """Batched traceback over the id log without gathers.
+
+    ``_traceback_positional`` walks parent pointers with a per-iteration
+    ``jnp.take`` — under vmap that is a batched gather per step, which
+    dominates the whole fused-kernel pipeline (~48 ms of a 58 ms batch at
+    B=4096).  This version exploits that parents have strictly smaller
+    creation steps than children: ONE backward scan over t visits every
+    chain node in leaf-to-root order.  Per step the parent read is a
+    K-way one-hot select over the step's tip ids (no gather), emits land
+    in a [B, T] column buffer, and a final stable sort compacts them to
+    the ``_traceback_positional`` output contract bit-for-bit.
+
+    Args:
+      fin: [B] i32 final beam-head ids.
+      ids_log: [T, KP, B] i32 per-step entry-tip ids (kernel layout —
+        no transpose needed).
+      T, K, A: static dims.
+
+    Returns (labels_rev [B, T], times_rev [B, T], count [B]).
+    """
+    B = fin.shape[0]
+    KA = np.int32(K * A)
+
+    def step(st, xs):
+        cur, labs_buf, times_buf = st
+        ids_t, t = xs  # [KP, B], scalar
+        ok = cur >= 0
+        safe = jnp.maximum(cur, 0)
+        tt = safe // KA
+        r = safe % KA
+        k = r // np.int32(A)
+        a = r % np.int32(A)
+        hit = ok & (tt == t)
+        par = jnp.full_like(cur, -2)
+        for kk in range(K):
+            par = jnp.where(k == kk, ids_t[kk], par)
+        cur = jnp.where(hit, par, cur)
+        lab = jnp.where(hit, a, -1)
+        tv = jnp.where(hit, t, -1)
+        labs_buf = jax.lax.dynamic_update_slice(
+            labs_buf, lab[:, None], (0, t)
+        )
+        times_buf = jax.lax.dynamic_update_slice(
+            times_buf, tv[:, None], (0, t)
+        )
+        return (cur, labs_buf, times_buf), None
+
+    neg = jnp.full((B, T), -1, jnp.int32)
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    (cur, labs_buf, times_buf), _ = jax.lax.scan(
+        step,
+        (fin.astype(jnp.int32), neg, neg),
+        (ids_log[::-1], ts),
+    )
+    # compact emits to the front in descending-t (leaf-first) order: the
+    # buffers are t-indexed (ascending), so flip the t axis first, then a
+    # stable sort on the no-emit flag preserves that order
+    labs_buf = labs_buf[:, ::-1]
+    times_buf = times_buf[:, ::-1]
+    k1 = (labs_buf < 0).astype(jnp.int32)
+    _, labels_rev, times_rev = jax.lax.sort(
+        (k1, labs_buf, times_buf), dimension=-1, is_stable=True, num_keys=1
+    )
+    count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
+    return labels_rev, times_rev, count

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import errors
-from .beam_fast import _traceback_positional
+from .beam_fast import _traceback_positional, _traceback_scan_batch
 
 _I32_MAX = np.iinfo(np.int32).max
 NEG_INF = np.float32(-np.inf)
@@ -348,7 +348,13 @@ def beam_search_pallas_batch(
     lens_p = jnp.pad(
         jnp.asarray(lengths, jnp.int32), (0, Bp - B)
     ).reshape(1, Bp)
-    probs_t = jnp.transpose(probs_p, (1, 2, 0))  # [Tp, A1, Bp]
+    # [Tp, A1, Bp] via a 2-D transpose: a direct (1, 2, 0) permutation
+    # drags the 5-wide minor dim through a slow layout path (~9 ms at
+    # B=4096); transposing [Bp, Tp*A1] -> [Tp*A1, Bp] and splitting rows
+    # is the same result at full bandwidth
+    probs_t = jnp.transpose(probs_p.reshape(Bp, Tp * A1), (1, 0)).reshape(
+        Tp, A1, Bp
+    )
     thr = jnp.asarray(beam_cut_threshold, jnp.float32).reshape(1, 1)
 
     grid = (Bp // Bt, Tp // TB)
@@ -389,20 +395,17 @@ def beam_search_pallas_batch(
         interpret=interpret,
     )(thr, probs_t, lens_p)
 
-    # traceback in XLA over the id log (per read: [T, K])
-    ids_btk = jnp.transpose(ids_log[:T, :K, :B], (2, 0, 1))  # [B, T, K]
-    fin_b = fin[0, :B]
-    err_b = err[0, :B]
-
-    trace = jax.vmap(
-        lambda i0, ids: _traceback_positional(i0, ids, T, K, A)
+    # gather-free batched traceback directly over the kernel's id-log
+    # layout (see _traceback_scan_batch — the vmapped pointer walk was 48
+    # of the 58 ms batch time)
+    labels_rev, times_rev, count = _traceback_scan_batch(
+        fin[0, :B], ids_log[:T, :, :B], T, K, A
     )
-    labels_rev, times_rev, count = trace(fin_b, ids_btk)
     return {
         "labels_rev": labels_rev,
         "times_rev": times_rev,
         "count": count,
-        "err": err_b,
+        "err": err[0, :B],
     }
 
 
@@ -764,10 +767,9 @@ def crf_beam_search_pallas_batch(
         interpret=interpret,
     )(thr, probs_t, init_t, lens_p)
 
-    ids_btk = jnp.transpose(ids_log[:T, :K, :B], (2, 0, 1))
-    labels_rev, times_rev, count = jax.vmap(
-        lambda i0, ids: _traceback_positional(i0, ids, T, K, A)
-    )(fin[0, :B], ids_btk)
+    labels_rev, times_rev, count = _traceback_scan_batch(
+        fin[0, :B], ids_log[:T, :, :B], T, K, A
+    )
     return {
         "labels_rev": labels_rev,
         "times_rev": times_rev,
