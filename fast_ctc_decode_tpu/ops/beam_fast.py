@@ -421,15 +421,39 @@ def beam_search_fast_batch(
     beam_size: int,
     collapse_repeats: bool = True,
 ):
-    """vmap of beam_search_fast_device over [B, T, A+1] + [B] lengths."""
-    fn = lambda p, l: beam_search_fast_device(
-        p,
-        l,
-        beam_cut_threshold,
-        beam_size=beam_size,
-        collapse_repeats=collapse_repeats,
+    """Batched fast beam over [B, T, A+1] + [B] lengths: scan-outside /
+    vmap-inside decode plus the gather-free batched traceback."""
+    B, T, A1 = probs.shape
+    A = A1 - 1
+    K = beam_size
+    thr = jnp.asarray(beam_cut_threshold, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    carry0 = jax.vmap(lambda _: _init_fast_carry(K, 0.0, 1.0, 0))(
+        jnp.arange(B)
     )
-    return jax.vmap(fn)(probs, lengths)
+    probs_t = jnp.transpose(probs, (1, 0, 2))  # [T, B, A+1]
+
+    def step(carry, xs):
+        p, t = xs
+        fn = lambda c, pp, ln: _beam_fast_step(
+            c, (pp, t), A=A, K=K, collapse=collapse_repeats, length=ln,
+            threshold=thr,
+        )
+        return jax.vmap(fn)(carry, p, lengths)
+
+    carry, beam_ids = jax.lax.scan(
+        step, carry0, (probs_t, jnp.arange(T, dtype=jnp.int32))
+    )  # beam_ids: [T, B, K]
+    labels_rev, times_rev, count = _traceback_scan_batch_tbk(
+        carry.id[:, 0], beam_ids, T, K, A
+    )
+    return {
+        "labels_rev": labels_rev,
+        "times_rev": times_rev,
+        "count": count,
+        "err": carry.err,
+    }
 
 
 def _crf_fast_step(carry, xs, *, A, S, K, length, threshold):
@@ -541,10 +565,9 @@ def crf_beam_search_fast_batch(probs, init_states, lengths, beam_cut_threshold, 
         step, carry0, (probs_t, jnp.arange(T, dtype=jnp.int32))
     )  # beam_ids: [T, B, K]
 
-    ids_btk = jnp.transpose(beam_ids, (1, 0, 2))
-    labels_rev, times_rev, count = jax.vmap(
-        lambda i0, ids: _traceback_positional(i0, ids, T, K, A)
-    )(carry.id[:, 0], ids_btk)
+    labels_rev, times_rev, count = _traceback_scan_batch_tbk(
+        carry.id[:, 0], beam_ids, T, K, A
+    )
     return {
         "labels_rev": labels_rev,
         "times_rev": times_rev,
@@ -611,6 +634,51 @@ def _traceback_scan_batch(fin, ids_log, T, K, A):
     # compact emits to the front in descending-t (leaf-first) order: the
     # buffers are t-indexed (ascending), so flip the t axis first, then a
     # stable sort on the no-emit flag preserves that order
+    labs_buf = labs_buf[:, ::-1]
+    times_buf = times_buf[:, ::-1]
+    k1 = (labs_buf < 0).astype(jnp.int32)
+    _, labels_rev, times_rev = jax.lax.sort(
+        (k1, labs_buf, times_buf), dimension=-1, is_stable=True, num_keys=1
+    )
+    count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
+    return labels_rev, times_rev, count
+
+
+def _traceback_scan_batch_tbk(fin, ids_log_tbk, T, K, A):
+    """_traceback_scan_batch for the scan engines' [T, B, K] id-log layout
+    (same gather-free backward sweep; parent select over the K columns)."""
+    B = fin.shape[0]
+    KA = np.int32(K * A)
+
+    def step(st, xs):
+        cur, labs_buf, times_buf = st
+        ids_t, t = xs  # [B, K], scalar
+        ok = cur >= 0
+        safe = jnp.maximum(cur, 0)
+        tt = safe // KA
+        r = safe % KA
+        k = r // np.int32(A)
+        a = r % np.int32(A)
+        hit = ok & (tt == t)
+        par = jnp.full_like(cur, -2)
+        for kk in range(K):
+            par = jnp.where(k == kk, ids_t[:, kk], par)
+        cur = jnp.where(hit, par, cur)
+        labs_buf = jax.lax.dynamic_update_slice(
+            labs_buf, jnp.where(hit, a, -1)[:, None], (0, t)
+        )
+        times_buf = jax.lax.dynamic_update_slice(
+            times_buf, jnp.where(hit, t, -1)[:, None], (0, t)
+        )
+        return (cur, labs_buf, times_buf), None
+
+    neg = jnp.full((B, T), -1, jnp.int32)
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    (cur, labs_buf, times_buf), _ = jax.lax.scan(
+        step,
+        (fin.astype(jnp.int32), neg, neg),
+        (ids_log_tbk[::-1], ts),
+    )
     labs_buf = labs_buf[:, ::-1]
     times_buf = times_buf[:, ::-1]
     k1 = (labs_buf < 0).astype(jnp.int32)

@@ -51,7 +51,7 @@ one kernel with every band resident in VMEM:
 Everything else (hash prefix identity, analytic merge, (max, min-id)
 selection with explicit validity so zero-probability hypotheses survive,
 error semantics) matches ops/duplex_fast.py.  The traceback over the
-per-step beam-id log stays in XLA (ops/beam_fast._traceback_positional).
+per-step beam-id log stays in XLA (ops/beam_fast._traceback_scan_batch).
 """
 
 from __future__ import annotations
@@ -66,7 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import errors
-from .beam_fast import _traceback_positional
+from .beam_fast import _traceback_scan_batch
 from .beam_pallas import _mix1_i32, _mix2_i32, _SEED1, _SEED2
 
 _I32_MAX = np.iinfo(np.int32).max
@@ -822,8 +822,7 @@ def duplex_pallas_batch(
         interpret=interpret,
     )(lo_p, hi_p, d_p, thr, l1t, l2t, rgt, lens_p)
 
-    ids_btk = jnp.transpose(ids_log[:T1, :K, :B], (2, 0, 1))
-    labels_rev, _, count = jax.vmap(
-        lambda i0, ids: _traceback_positional(i0, ids, T1, K, A)
-    )(fin[0, :B], ids_btk)
+    labels_rev, _, count = _traceback_scan_batch(
+        fin[0, :B], ids_log[:T1, :, :B], T1, K, A
+    )
     return {"labels_rev": labels_rev, "count": count, "err": err[0, :B]}
