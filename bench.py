@@ -64,19 +64,19 @@ def main():
     out = run()  # compile + warm
     assert all(int(e) == 0 for e in np.asarray(out["err"])), "decode errors in bench"
 
-    # correctness spot check vs the sequential reference-semantics oracle
+    # correctness gate vs the sequential reference-semantics oracle: the
+    # bench result is meaningless without sequence parity, so this is a
+    # hard failure (no silent skip), sampled across the batch
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    try:
-        import oracle
+    import oracle
 
-        for i in range(2):
-            n = int(out["count"][i])
-            labels_rev = np.asarray(out["labels_rev"][i])[:n]
-            seq = "".join("NACGT"[int(l) + 1] for l in labels_rev[::-1])
-            want, _ = oracle.beam_search(probs[i], "NACGT", beam_size, 0.1)
-            assert seq == want, f"read {i}: {seq!r} != oracle {want!r}"
-    except ImportError:
-        pass
+    n_check = int(os.environ.get("BENCH_PARITY_READS", "8"))
+    for i in np.linspace(0, B - 1, n_check).astype(int):
+        n = int(out["count"][i])
+        labels_rev = np.asarray(out["labels_rev"][i])[:n]
+        seq = "".join("NACGT"[int(l) + 1] for l in labels_rev[::-1])
+        want, _ = oracle.beam_search(probs[i], "NACGT", beam_size, 0.1)
+        assert seq == want, f"read {i}: {seq!r} != oracle {want!r}"
 
     # pipelined timing: queue all iterations, then force ONE host
     # materialization.  Per-call syncs through the axon tunnel add ~30 ms

@@ -576,7 +576,7 @@ def crf_beam_search_fast_batch(probs, init_states, lengths, beam_cut_threshold, 
     }
 
 
-def _traceback_scan_batch(fin, ids_log, T, K, A):
+def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
     """Batched traceback over the id log without gathers.
 
     ``_traceback_positional`` walks parent pointers with a per-iteration
@@ -591,8 +591,9 @@ def _traceback_scan_batch(fin, ids_log, T, K, A):
 
     Args:
       fin: [B] i32 final beam-head ids.
-      ids_log: [T, KP, B] i32 per-step entry-tip ids (kernel layout —
-        no transpose needed).
+      ids_log: per-step entry-tip ids — [T, KP, B] (the Pallas kernels'
+        layout, ``tips_major=True``) or [T, B, K] (the scan engines',
+        ``tips_major=False``); neither needs a transpose.
       T, K, A: static dims.
 
     Returns (labels_rev [B, T], times_rev [B, T], count [B]).
@@ -602,7 +603,7 @@ def _traceback_scan_batch(fin, ids_log, T, K, A):
 
     def step(st, xs):
         cur, labs_buf, times_buf = st
-        ids_t, t = xs  # [KP, B], scalar
+        ids_t, t = xs  # [KP, B] or [B, K], scalar
         ok = cur >= 0
         safe = jnp.maximum(cur, 0)
         tt = safe // KA
@@ -612,7 +613,8 @@ def _traceback_scan_batch(fin, ids_log, T, K, A):
         hit = ok & (tt == t)
         par = jnp.full_like(cur, -2)
         for kk in range(K):
-            par = jnp.where(k == kk, ids_t[kk], par)
+            tip = ids_t[kk] if tips_major else ids_t[:, kk]
+            par = jnp.where(k == kk, tip, par)
         cur = jnp.where(hit, par, cur)
         lab = jnp.where(hit, a, -1)
         tv = jnp.where(hit, t, -1)
@@ -645,45 +647,5 @@ def _traceback_scan_batch(fin, ids_log, T, K, A):
 
 
 def _traceback_scan_batch_tbk(fin, ids_log_tbk, T, K, A):
-    """_traceback_scan_batch for the scan engines' [T, B, K] id-log layout
-    (same gather-free backward sweep; parent select over the K columns)."""
-    B = fin.shape[0]
-    KA = np.int32(K * A)
-
-    def step(st, xs):
-        cur, labs_buf, times_buf = st
-        ids_t, t = xs  # [B, K], scalar
-        ok = cur >= 0
-        safe = jnp.maximum(cur, 0)
-        tt = safe // KA
-        r = safe % KA
-        k = r // np.int32(A)
-        a = r % np.int32(A)
-        hit = ok & (tt == t)
-        par = jnp.full_like(cur, -2)
-        for kk in range(K):
-            par = jnp.where(k == kk, ids_t[:, kk], par)
-        cur = jnp.where(hit, par, cur)
-        labs_buf = jax.lax.dynamic_update_slice(
-            labs_buf, jnp.where(hit, a, -1)[:, None], (0, t)
-        )
-        times_buf = jax.lax.dynamic_update_slice(
-            times_buf, jnp.where(hit, t, -1)[:, None], (0, t)
-        )
-        return (cur, labs_buf, times_buf), None
-
-    neg = jnp.full((B, T), -1, jnp.int32)
-    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    (cur, labs_buf, times_buf), _ = jax.lax.scan(
-        step,
-        (fin.astype(jnp.int32), neg, neg),
-        (ids_log_tbk[::-1], ts),
-    )
-    labs_buf = labs_buf[:, ::-1]
-    times_buf = times_buf[:, ::-1]
-    k1 = (labs_buf < 0).astype(jnp.int32)
-    _, labels_rev, times_rev = jax.lax.sort(
-        (k1, labs_buf, times_buf), dimension=-1, is_stable=True, num_keys=1
-    )
-    count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
-    return labels_rev, times_rev, count
+    """_traceback_scan_batch for the scan engines' [T, B, K] id-log layout."""
+    return _traceback_scan_batch(fin, ids_log_tbk, T, K, A, tips_major=False)

@@ -108,18 +108,6 @@ def viterbi_device(
     return {"tokens": tokens, "path": path, "qints": qints_by_seg, "n": n}
 
 
-# Batched variant: probs [B, T, A], lengths [B].
-viterbi_device_batch = jax.jit(
-    jax.vmap(
-        lambda p, l, qs, qb, collapse: viterbi_device(
-            p, l, qs, qb, collapse_repeats=collapse
-        ),
-        in_axes=(0, 0, None, None, None),
-    ),
-    static_argnums=(4,),
-)
-
-
 def assemble_host(
     labels: np.ndarray,
     pmax: np.ndarray,

@@ -262,6 +262,16 @@ def decode_and_count(
     return fn(probs, lengths)
 
 
+def _bucket_edge_for(T: int, min_edge: int = 128) -> int:
+    """Smallest power-of-two edge >= T (and >= min_edge).  The serve layer
+    keys its compiled-decoder cache on this, so requests with nearby read
+    lengths share one compiled decoder at <= 2x padding waste."""
+    e = int(min_edge)
+    while e < T:
+        e *= 2
+    return e
+
+
 def _auto_bucket_edges(lengths: Sequence[int], min_edge: int = 128) -> List[int]:
     """Power-of-two length-bucket edges covering ``lengths``: padding waste
     is bounded at 2x per read while the number of compiled kernels stays
@@ -676,17 +686,28 @@ class BatchDuplexDecoder:
                 )
             )
             lengths = np.asarray(lengths, np.int32)
-            # B and chunk are both multiples of the device count
-            for s in range(0, B, chunk):
+            # B and chunk are both multiples of the device count.  The ~2 GB
+            # chunk sizing is a heuristic; if a W/max_nodes miscount still
+            # overflows HBM, catch the device OOM and halve the chunk
+            # instead of aborting the batch.
+            s = 0
+            while s < B:
                 e = min(s + chunk, B)
-                outs.append(
-                    jax.device_get(
-                        fn(
-                            l1[s:e], l2[s:e], root_gap[s:e],
-                            los[s:e], his[s:e], lengths[s:e],
+                try:
+                    outs.append(
+                        jax.device_get(
+                            fn(
+                                l1[s:e], l2[s:e], root_gap[s:e],
+                                los[s:e], his[s:e], lengths[s:e],
+                            )
                         )
                     )
-                )
+                except jax.errors.JaxRuntimeError as exc:
+                    if "RESOURCE_EXHAUSTED" not in str(exc) or chunk <= n_dev:
+                        raise
+                    chunk = max(chunk // 2 - (chunk // 2) % n_dev, n_dev)
+                    continue
+                s = e
             out = {
                 k: np.concatenate([o[k] for o in outs]) for k in outs[0]
             }
@@ -742,15 +763,208 @@ class BatchDuplexDecoder:
         return self._assemble(out, B0)
 
     def _assemble(self, out, B0):
-        from ..native import detokenize_batch
+        return _assemble_duplex(out, B0, self.alphabet)
 
-        counts = np.where(
-            np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
-        ).astype(np.int32)
-        seqs = detokenize_batch(
-            np.asarray(out["labels_rev"]), counts, self.alphabet[1:], reverse=True
+
+def _assemble_duplex(out, B0, alphabet):
+    """Duplex result assembly: [(sequence, err_code)] per pair (duplex
+    returns no path, matching the reference — src/duplex.rs:638-649)."""
+    from ..native import detokenize_batch
+
+    counts = np.where(
+        np.asarray(out["err"]) == errors.OK, np.asarray(out["count"]), 0
+    ).astype(np.int32)
+    seqs = detokenize_batch(
+        np.asarray(out["labels_rev"]), counts, alphabet[1:], reverse=True
+    )
+    return [
+        (s if int(e) == errors.OK else "", int(e))
+        for s, e in zip(seqs[:B0], np.asarray(out["err"])[:B0])
+    ]
+
+
+class BatchCrfDuplexDecoder:
+    """Batched, mesh-sharded 2-D CRF duplex pair-consensus decoder
+    (reference /root/reference/src/duplex.rs:652-834).
+
+    Inputs per batch: ``net1 [B, T1, S, A+1]``, ``init1 [B, S]``,
+    ``net2 [B, T2, S, A+1]``, ``init2 [B, S]`` linear probabilities, plus
+    optional envelopes (None = full range, ``[T1, 2]`` shared, or
+    ``[B, T1, 2]`` per-pair) and ``lengths [B]``.
+
+    ``engine`` mirrors ``BatchDuplexDecoder``'s parity-first policy:
+      - None (auto): constant-window envelopes run the XLA fast engine
+        (sequence-exact there); moving windows run the bit-exact tree
+        engine, batched.
+      - "fast": slot-band semantics everywhere (re-derived prefixes
+        rebuild bands over the current window).
+      - "exact": the tree engine for everything.
+    """
+
+    def __init__(
+        self,
+        alphabet,
+        T1: int,
+        T2: int,
+        n_state: int,
+        beam_size: int = 5,
+        beam_cut_threshold: float = 0.0,
+        mesh=None,
+        engine: Optional[str] = None,
+    ):
+        from ..ops import duplex_fast as duplex_fast_ops
+
+        self._ops = duplex_fast_ops
+        self.alphabet = normalize_alphabet(alphabet)
+        self.T1, self.T2 = int(T1), int(T2)
+        self.S = int(n_state)
+        self.beam_size = int(beam_size)
+        self.threshold = float(beam_cut_threshold)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        if engine not in (None, "fast", "exact"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+
+    def decode(self, net1, init1, net2, init2, envelopes=None, lengths=None):
+        """Returns [(sequence, err_code)] per pair."""
+        B0 = net1.shape[0]
+        T1, T2, S = self.T1, self.T2, self.S
+        A = len(self.alphabet) - 1
+        shared_env = envelopes is None or np.asarray(envelopes).ndim == 2
+        n_dev = len(self.mesh.devices.reshape(-1))
+        pad = (-B0) % n_dev
+        if pad:
+            net1 = np.concatenate([net1, np.repeat(net1[-1:], pad, 0)], 0)
+            net2 = np.concatenate([net2, np.repeat(net2[-1:], pad, 0)], 0)
+            init1 = np.concatenate([init1, np.repeat(init1[-1:], pad, 0)], 0)
+            init2 = np.concatenate([init2, np.repeat(init2[-1:], pad, 0)], 0)
+            if envelopes is not None and not shared_env:
+                envelopes = np.concatenate(
+                    [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
+                )
+            if lengths is not None:
+                lengths = np.concatenate(
+                    [np.asarray(lengths), np.zeros((pad,), np.int32)]
+                )
+        B = net1.shape[0]
+        if shared_env:
+            env = None if envelopes is None else np.asarray(envelopes)
+            if env is None:
+                env = np.zeros((T1, 2), np.int64)
+                env[:, 1] = T2
+            envelopes = np.broadcast_to(env.astype(np.int64), (B, T1, 2))
+        if lengths is None:
+            lengths = np.full((B,), T1, np.int32)
+            if pad:
+                lengths[B0:] = 0
+        lengths = np.asarray(lengths, np.int32)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
+            l2 = np.log(np.asarray(net2, np.float32), dtype=np.float32)
+            thr = np.float32(np.log(np.float32(self.threshold)))
+        init_states = np.argmax(np.asarray(init1, np.float32), axis=1).astype(
+            np.int32
         )
-        return [
-            (s if int(e) == errors.OK else "", int(e))
-            for s, e in zip(seqs[:B0], np.asarray(out["err"])[:B0])
-        ]
+
+        los = np.zeros((B, T1), np.int32)
+        his = np.zeros((B, T1), np.int32)
+        eps = []
+        for b in range(1 if shared_env else B):
+            ep = self._ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
+            eps.append(ep)
+            los[b], his[b] = ep.lo, ep.hi
+        if shared_env:
+            los[:] = los[0]
+            his[:] = his[0]
+        Wr = max(
+            int(min(max(envelopes[b][0, 1], 0), T2)) + 1
+            for b in range(1 if shared_env else B)
+        )
+
+        # crf root band walks the blank state trajectory per read
+        # (duplex.rs:411-441), vectorized across the batch
+        root_gap = np.full((B, Wr), -np.inf, np.float32)
+        states = np.argmax(np.asarray(init2, np.float32), axis=1).astype(
+            np.int64
+        )
+        cur = np.zeros((B,), np.float32)
+        wr_b = np.minimum(np.maximum(envelopes[:, 0, 1], 0), T2) + 1
+        root_gap[:, 0] = 0.0
+        for i in range(Wr - 1):
+            cur = (cur + l2[np.arange(B), i, states, 0]).astype(np.float32)
+            live = i + 1 < wr_b
+            root_gap[live, i + 1] = cur[live]
+            states = (states * A) % S
+
+        engine = self.engine
+        if engine is None:
+            constant_window = bool(
+                np.all(los == los[0, 0]) and np.all(his == his[0, 0])
+            )
+            engine = "fast" if constant_window else "exact"
+
+        if engine == "exact":
+            from ..ops import duplex as duplex_ops
+
+            exact_eps = [
+                duplex_ops._prep_envelope(np.asarray(envelopes[b]), T2)
+                for b in range(1 if shared_env else B)
+            ]
+            We = max(e[2] for e in exact_eps)
+            Wre = max(e[3] for e in exact_eps)
+            ne = any(e[4] for e in exact_eps)
+            Wxe = max(e[5] for e in exact_eps)
+            N = duplex_ops._duplex_max_nodes(T1, self.beam_size, A, We)
+            out = jax.device_get(
+                jax.jit(
+                    jax.shard_map(
+                        lambda a, c, rg, lo_, hi_, st, ln: duplex_ops.duplex_exact_batch(
+                            a, c, rg, lo_, hi_, thr, st, ln,
+                            beam_size=self.beam_size,
+                            collapse_repeats=False,
+                            max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
+                            needs_ext=ne, crf=True,
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 7,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )
+                )(l1, l2, root_gap, los, his, init_states, lengths)
+            )
+            return _assemble_duplex(out, B0, self.alphabet)
+
+        # fast engine: batch maxima for the static window sizes
+        W = max(ep.W for ep in eps)
+        Wrm = Wr
+        Wext = max(ep.Wext for ep in eps)
+        D = max(ep.D for ep in eps)
+        needs_ext = any(ep.needs_ext for ep in eps)
+        static_window = all(ep.static_window for ep in eps)
+        rel_window = all(ep.rel_window for ep in eps) and not static_window
+        if shared_env:
+            lo_a, hi_a = los[0], his[0]
+            env_spec = (P(),) * 2
+        else:
+            lo_a, hi_a = los, his
+            env_spec = (P(DATA_AXIS),) * 2
+        out = jax.device_get(
+            jax.jit(
+                jax.shard_map(
+                    lambda a, c, rg, lo, hi, st, ln: self._ops.duplex_fast_batch(
+                        a, c, rg, lo, hi, thr, st, ln,
+                        beam_size=self.beam_size,
+                        collapse_repeats=False,
+                        W=W, Wr=Wrm, Wext=Wext, needs_ext=needs_ext,
+                        crf=True, static_window=static_window,
+                        rel_window=rel_window, D=D, shared_env=shared_env,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS),) * 3 + env_spec + (P(DATA_AXIS),) * 2,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )(l1, l2, root_gap, lo_a, hi_a, init_states, lengths)
+        )
+        return _assemble_duplex(out, B0, self.alphabet)

@@ -95,9 +95,10 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
     if np.any(lengths < 0) or np.any(lengths > T):
         raise ValueError("lengths must be in [0, T]")
 
-    # bucket T to power-of-two edges so requests with naturally varying
-    # read lengths share compiled decoders instead of compiling per T
-    Tb = pipeline._auto_bucket_edges([T])[-1]
+    # round T up to a power-of-two bucket edge so requests with naturally
+    # varying read lengths share compiled decoders instead of compiling per
+    # T (per-read ``lengths`` keep the decode exact on the padded frames)
+    Tb = pipeline._bucket_edge_for(T)
     if Tb > T:
         posteriors = np.concatenate(
             [posteriors, np.zeros((B, Tb - T, posteriors.shape[2]), np.float32)],

@@ -57,3 +57,69 @@ def test_batch_duplex_matches_single():
         assert seq == want, i
         oseq = oracle.beam_search_duplex(n1[i], n2[i], "NACG", beam_size=5)
         assert seq == oseq, i
+
+
+def test_batch_crf_duplex_full_range_matches_oracle():
+    """BatchCrfDuplexDecoder (auto -> fast engine on the default full-range
+    envelope) vs the NumPy oracle and the single-read API."""
+    from fast_ctc_decode_tpu import crf_beam_search_duplex
+    from fast_ctc_decode_tpu.parallel.pipeline import BatchCrfDuplexDecoder
+
+    rng = np.random.RandomState(41)
+    B, T1, T2, S, A1 = 8, 12, 14, 16, 5
+
+    def mk(shape, seed):
+        r = np.random.RandomState(seed)
+        x = r.rand(*shape).astype(np.float32)
+        return x / x.sum(-1, keepdims=True)
+
+    n1 = np.stack([mk((T1, S, A1), 100 + i) for i in range(B)])
+    n2 = np.stack([mk((T2, S, A1), 200 + i) for i in range(B)])
+    i1 = rng.rand(B, S).astype(np.float32)
+    i2 = rng.rand(B, S).astype(np.float32)
+
+    dec = BatchCrfDuplexDecoder("NACGT", T1=T1, T2=T2, n_state=S, beam_size=5)
+    res = dec.decode(n1, i1, n2, i2)
+    assert len(res) == B
+    for i in range(B):
+        seq, err = res[i]
+        assert err == 0
+        want = oracle.crf_beam_search_duplex(
+            n1[i], i1[i], n2[i], i2[i], "NACGT", beam_size=5
+        )
+        assert seq == want, i
+        api_seq = crf_beam_search_duplex(
+            n1[i], i1[i], n2[i], i2[i], "NACGT", beam_size=5
+        )
+        assert seq == api_seq, i
+
+
+def test_batch_crf_duplex_banded_auto_exact():
+    """Moving-window envelopes route to the bit-exact tree engine
+    (parity-first auto), matching the oracle on band-reuse semantics."""
+    from duplex_helpers import diag_env
+    from fast_ctc_decode_tpu.parallel.pipeline import BatchCrfDuplexDecoder
+
+    B, T1, T2, S, A1 = 8, 12, 14, 16, 5
+    rng = np.random.RandomState(51)
+
+    def mk(shape, seed):
+        r = np.random.RandomState(seed)
+        x = r.rand(*shape).astype(np.float32)
+        return x / x.sum(-1, keepdims=True)
+
+    n1 = np.stack([mk((T1, S, A1), 300 + i) for i in range(B)])
+    n2 = np.stack([mk((T2, S, A1), 400 + i) for i in range(B)])
+    i1 = rng.rand(B, S).astype(np.float32)
+    i2 = rng.rand(B, S).astype(np.float32)
+    env = diag_env(T1, T2, 4)
+
+    dec = BatchCrfDuplexDecoder("NACGT", T1=T1, T2=T2, n_state=S, beam_size=5)
+    res = dec.decode(n1, i1, n2, i2, envelopes=env)
+    for i in range(B):
+        seq, err = res[i]
+        assert err == 0
+        want = oracle.crf_beam_search_duplex(
+            n1[i], i1[i], n2[i], i2[i], "NACGT", env, beam_size=5
+        )
+        assert seq == want, i

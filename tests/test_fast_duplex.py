@@ -79,8 +79,9 @@ class TestFastDuplexFullRange:
         assert _pick_duplex_engine(None, banded, T2) == "exact"
 
     def test_crf_fast_matches_exact_engine(self):
-        # no oracle for CRF duplex: the exact-tree engine (crosschecked
-        # elsewhere) is the reference here
+        # the exact-tree engine is the yardstick here; it is itself
+        # crosschecked against oracle.crf_beam_search_duplex in
+        # test_crf_duplex_crosscheck.py
         rng = np.random.RandomState(7)
         T1, T2, S, A1 = 12, 14, 4, 4
         n1 = rng.rand(T1, S, A1).astype(np.float32)

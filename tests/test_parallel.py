@@ -142,3 +142,30 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_wide_alphabet_both_engines():
+    """The reference long-alphabet case (A1=12 — reference
+    tests/test_decode.py:101-107 analog) must decode through
+    BatchBeamDecoder on both the XLA and the fused Pallas backends."""
+    import oracle
+
+    rng = np.random.RandomState(11)
+    B, T, A1 = 8, 30, 12
+    probs = rng.rand(B, T, A1).astype(np.float32)
+    probs /= np.linalg.norm(probs, ord=2, axis=-1, keepdims=True)
+    lengths = np.full((B,), T, np.int32)
+    alphabet = "NABCDEFGHIJK"
+
+    want = [
+        oracle.beam_search(probs[i], alphabet, 5, 0.0)[0] for i in range(B)
+    ]
+    for engine in ("fast", "pallas"):
+        dec = BatchBeamDecoder(
+            alphabet, T=T, beam_size=5, beam_cut_threshold=0.0, engine=engine
+        )
+        res = dec.decode(probs, lengths)
+        for i in range(B):
+            seq, path, err = res[i]
+            assert err == 0
+            assert seq == want[i], (engine, i)

@@ -267,3 +267,37 @@ class TestCrashRecoveryChain:
         c3 = DecodeCheckpoint.load_or_create(ckpt, {"v": 1})
         assert set(c3.done) == {0, 1}
         assert c3.done[1] == ("C", [1], 0)
+
+
+class TestServeDecoderCache:
+    def test_nearby_lengths_share_compiled_decoder(self):
+        """T is rounded up to a power-of-two bucket edge before keying the
+        decoder cache, so nearby-T batch requests reuse ONE compiled
+        decoder instead of compiling per distinct T."""
+        from fast_ctc_decode_tpu import serve
+
+        serve._DECODER_CACHE.clear()
+        results = []
+        for T, seed in ((100, 1), (120, 2)):
+            reads = np.stack([rand_read(T, 5, seed + i) for i in range(2)])
+            req = {
+                "method": "beam_search",
+                "posteriors": reads.reshape(-1).tolist(),
+                "shape": [2, T, 5],
+                "alphabet": ["N", "A", "C", "G", "T"],
+                "beam_size": 5,
+                "beam_cut_threshold": 0.1,
+            }
+            out = decode_request(req)
+            results.append((reads, out))
+        assert len(serve._DECODER_CACHE) == 1  # both T=100/T=120 -> T=128
+        (key,) = serve._DECODER_CACHE
+        assert key[2] == 128
+        # padding to the bucket edge must not change the decode (the batch
+        # pipeline runs the fast engine off-TPU, so compare to its contract)
+        for reads, out in results:
+            for i, r in enumerate(out["results"]):
+                seq, starts = beam_search(
+                    reads[i], "NACGT", 5, 0.1, engine="fast"
+                )
+                assert (r["seq"], r["starts"], r["err"]) == (seq, starts, 0)
