@@ -1,0 +1,936 @@
+"""Pallas TPU kernel for BIT-FAITHFUL banded duplex beam search.
+
+This is the throughput engine for *reference band-reuse semantics* — the
+moving-window (alignment-envelope) mode the reference documents as the
+real duplex workload (/root/reference/src/lib.rs:376-378).  The fused
+slot-band kernel (ops/duplex_pallas.py) rebuilds a re-derived prefix's
+band over the current window; the reference reuses the node's frozen band
+(src/duplex.rs:526-593 get_child + duplex.rs:490-522 extend-in-place),
+and the two measurably diverge on moving windows (PERF.md §4).  Closing
+that gap requires the *tree*: every created node's band must persist so a
+later re-derivation can reuse it.
+
+Design — one read pair per grid program, the whole tree resident on-chip:
+
+ - **Node-band tables in VMEM.**  ``blab/bgap [N, 128]`` f32 rows, band
+   cell ``w`` of node ``n`` at lane ``w`` (absolute t2 = boff[n] + w).
+   Rows are fetched/stored with scalar dynamic sublane indices and
+   aligned between window bases with ``pltpu.roll`` (dynamic lane
+   rotate).  N (max_nodes) is static; the measured bench workload
+   (T1=500, W=82, cut=0.1) allocates ~3.3k nodes, so N=4096 covers it
+   with VMEM to spare (2 x N x 512 B = 4 MB).
+
+ - **Tree + band metadata in SMEM scalars.**  parent/label/boff/blen/bmax
+   arrays plus the dense child table live in scalar memory (~150 KB at
+   N=4096) and are read/written with natural scalar indexing — the
+   per-lane dynamic addressing that makes reference semantics impossible
+   in the lanes=reads layout is ordinary scalar code here.  The child
+   table needs no initialization: a lookup ``c = child[(n+1)*A + a]`` is
+   validated as ``0 <= c < n_nodes and parent[c] == n and label[c] == a``,
+   which is sound on garbage because children are unique.
+
+ - **Band builds as a log-affine lane scan.**  The per-cell recurrence
+   (duplex.rs:229-247) is affine in (lab, tot) over the (logsumexp, +)
+   semiring; all K*A candidate children build in parallel as a 7-level
+   Hillis-Steele scan over the 128 cell lanes ((lab,tot) 2x2 matrix
+   composition — the same associative form the XLA fast engine uses).
+   The regrouping differs from the reference's sequential evaluation by
+   ulps only; sequence-level parity is asserted by the oracle crosscheck
+   matrix (tests/test_duplex_crosscheck.py, test_pallas_exact_duplex.py).
+
+ - **Extension ports the tree engine's in-place semantics** (ops/duplex.py
+   ``_extend_bands``): on upper-bound growth the beam is node-sorted
+   (parents extend before children, duplex.rs:493), each live node's band
+   discards below the new lower bound, recomputes its max, and extends
+   cell-by-cell from its own frozen end — reading the parent band (frozen
+   for out-of-beam parents) at t2-1 — in a data-dependent while loop.
+
+ - **Merge/selection in scalar land** with the analytic-merge structure
+   (a node receives at most blank + stay + one arrival; logsumexp is
+   commutative by operand ordering, so fold order is immaterial), then a
+   (32, 1) column top-K by (score desc, node id asc) exactly like the
+   reference's post-dedup sort (duplex.rs:619-635).
+
+Outputs pack labels_rev + count + err into one [B, T1L] i32 row per read.
+Reads that overflow the node budget return NODE_OVERFLOW and are re-run
+by the pipeline on the XLA exact engine with a larger budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import errors
+
+NEG = np.float32(-np.inf)
+POS_INF = np.float32(np.inf)
+_I32_MAX = np.iinfo(np.int32).max
+A1P = 8  # network rows padded to 8 lanes
+WP = 128  # band row width (lanes); envelopes must keep windows <= WP
+
+
+def _ls_add(a, b):
+    """LogSpace + (logsumexp), reference operand ordering + NaN semantics
+    (duplex.rs:42-63)."""
+    cond = a <= b
+    big = jnp.where(cond, b, a)
+    small = jnp.where(cond, a, b)
+    return jnp.where(small == NEG, big, big + jnp.log1p(jnp.exp(small - big)))
+
+
+def _ls_max(m, t):
+    """LogSpace::max — NaN in ``t`` never replaces ``m`` (duplex.rs:33-39)."""
+    return jnp.where(m < t, t, m)
+
+
+def _lane_at(row, i):
+    """(1, 1) value at dynamic lane ``i`` of a (1, L) row."""
+    return pltpu.roll(row, -i, 1)[:, 0:1]
+
+
+def _c11(x):
+    """Broadcast a scalar-ish value to a (1, 1) f32 cell."""
+    return jnp.zeros((1, 1), jnp.float32) + x
+
+
+def _sbool(x11):
+    """(1, 1) bool -> scalar bool (Mosaic can only squeeze 32-bit types)."""
+    return x11.astype(jnp.int32)[0, 0] != 0
+
+
+def _exact_duplex_kernel(
+    # inputs
+    scal_ref,  # SMEM (1, 8) i32: [length, init_state, ...]
+    lo_ref,  # SMEM (1, T1) i32
+    hi_ref,  # SMEM (1, T1) i32
+    rg_ref,  # SMEM (1, Rr) f32 root gap values (rg[i] = value at t2 = i-1)
+    thr_ref,  # SMEM (1, 1) f32 log threshold
+    l1_ref,  # VMEM (T1*S, A1P) f32 rows (t*S + state; S=1 when not crf)
+    l2_ref,  # VMEM (T2*S, A1P) f32 rows
+    l2T_ref,  # VMEM (S*A1P, T2p) f32 lane-major (row s*A1P + a)
+    rgT_ref,  # VMEM (1, Rrp) f32 lane-major root gap
+    # outputs
+    out_ref,  # VMEM (1, T1L) i32: labels_rev, count @T1L-2, err @T1L-1
+    # scratch
+    blab_ref,  # VMEM (N, WP) f32
+    bgap_ref,  # VMEM (N, WP) f32
+    boff_s,  # SMEM (N,) i32
+    blen_s,  # SMEM (N,) i32
+    bmax_s,  # SMEM (N,) f32
+    par_s,  # SMEM (N,) i32
+    lab_s,  # SMEM (N,) i32
+    child_s,  # SMEM ((N+1)*A,) i32
+    bm_node,  # SMEM (8,) i32
+    bm_state,  # SMEM (8,) i32
+    bm_valid,  # SMEM (8,) i32
+    bm_p1l,  # SMEM (8,) f32
+    bm_p1g,  # SMEM (8,) f32
+    bm_p2m,  # SMEM (8,) f32
+    cand_id,  # SMEM (32,) i32 per-candidate target node id
+    cand_new,  # SMEM (32,) i32 1 if allocated this step
+    misc,  # SMEM (8,) i32: [0]=n_nodes [1]=err [2]=last_upper
+    *,
+    K: int,
+    A: int,
+    S: int,
+    T1: int,
+    T2: int,
+    Rr: int,
+    N: int,
+    T1L: int,
+    collapse: bool,
+    crf: bool,
+    needs_ext: bool,
+):
+    KA = K * A
+    CP = max(-(-KA // 8) * 8, 8)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (1, T1L), 1)
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (CP, 1), 0)
+    a_of_c = sub_c % np.int32(A)
+    k_of_c = sub_c // np.int32(A)
+    # unified (32, 1) entry space: rows 0..7 tips, rows 8..8+KA candidates
+    # (one layout for expansion/merge/selection — Mosaic cannot concat
+    # sublane blocks with mismatched minor offsets)
+    sub_e = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    a_of_e = (sub_e - 8) % np.int32(A)
+    k_of_e = (sub_e - 8) // np.int32(A)
+    is_tip_e = sub_e < 8
+
+    length = scal_ref[0, 0, 0]
+    init_state = scal_ref[0, 0, 1]
+    thr = thr_ref[0, 0]
+
+    # ---- init: beam + counters (tables need no init, see docstring) ----
+    for k in range(K):
+        bm_node[k] = jnp.int32(-1) if k == 0 else jnp.int32(-2)
+        bm_state[k] = jnp.where(k == 0, init_state, 0)
+        bm_valid[k] = jnp.int32(1 if k == 0 else 0)
+        bm_p1l[k] = jnp.float32(-np.inf)
+        bm_p1g[k] = jnp.float32(0.0) if k == 0 else jnp.float32(-np.inf)
+        bm_p2m[k] = jnp.float32(0.0) if k == 0 else jnp.float32(-np.inf)
+    misc[0] = jnp.int32(0)  # n_nodes
+    misc[1] = jnp.int32(errors.OK)
+    misc[2] = jnp.int32(0)  # last_upper
+
+    def node_row(n):
+        """Band rows of node ``n`` (caller guarantees 0 <= n < N)."""
+        return (
+            blab_ref[pl.ds(n, 1), :],
+            bgap_ref[pl.ds(n, 1), :],
+        )
+
+    def child_of(n, a, n_nodes):
+        """get_child with garbage-proof validation (see docstring)."""
+        c = child_s[(n + 1) * np.int32(A) + a]
+        cs = jnp.clip(c, 0, N - 1)
+        ok = (c >= 0) & (c < n_nodes) & (par_s[cs] == n) & (lab_s[cs] == a)
+        return jnp.where(ok, c, -1)
+
+    def to_e(col32, fill):
+        """tip values (rows 0..K of a (32,1) column) -> candidate rows."""
+        out = jnp.full((32, 1), fill, col32.dtype)
+        for k in range(K):
+            out = jnp.where(k_of_e == k, col32[k : k + 1, :], out)
+        return out
+
+    def l1row(t, state):
+        if crf:
+            return l1_ref[0, pl.ds(t * np.int32(S) + state, 1), :]
+        return l1_ref[0, pl.ds(t, 1), :]
+
+    def l2row(t2, state):
+        t2c = jnp.clip(t2, 0, T2 - 1)
+        if crf:
+            return l2_ref[0, pl.ds(t2c * np.int32(S) + state, 1), :]
+        return l2_ref[0, pl.ds(t2c, 1), :]
+
+    def lane_sel(row, lbl):
+        """row (1, A1P), lbl scalar in [0, A): (1,1) value at lane lbl+1."""
+        out = _c11(NEG)
+        for a in range(A):
+            out = jnp.where(lbl == a, row[:, a + 1 : a + 2], out)
+        return out
+
+    # ------------------------------------------------------------- step
+    def step(t, _):
+        lo_t = lo_ref[0, 0, t]
+        hi_t = jnp.minimum(hi_ref[0, 0, t], np.int32(T2))
+        lo_t = jnp.maximum(lo_t, 0)
+        err = misc[1]
+        last_upper = misc[2]
+        alive = err == errors.OK
+        in_range = t < length
+        env_bad = (lo_t >= hi_t) | (lo_t > last_upper)
+
+        @pl.when(alive & in_range & env_bad)
+        def _env_err():
+            misc[1] = jnp.int32(errors.INVALID_ENVELOPE)
+
+        @pl.when(alive & in_range & jnp.logical_not(env_bad))
+        def _active_step():
+            _do_step(t, lo_t, hi_t, last_upper)
+            misc[2] = hi_t
+
+        return 0
+
+    def _do_step(t, lo_t, hi_t, last_upper):
+        wb = lo_t - 1
+
+        # ---------------- extension (parents before children) ----------
+        if needs_ext:
+
+            @pl.when(hi_t > last_upper)
+            def _extend():
+                # stable node-sort of the beam, invalid slots last
+                # (reference sorts in place before extending, duplex.rs:493)
+                for i in range(K):
+                    for j in range(K - 1 - i):
+                        nj = bm_node[j]
+                        nj1 = bm_node[j + 1]
+                        kj = jnp.where(bm_valid[j] != 0, nj, _I32_MAX)
+                        kj1 = jnp.where(bm_valid[j + 1] != 0, nj1, _I32_MAX)
+                        swap = kj > kj1
+                        for arr in (bm_node, bm_state, bm_valid):
+                            x, y = arr[j], arr[j + 1]
+                            arr[j] = jnp.where(swap, y, x)
+                            arr[j + 1] = jnp.where(swap, x, y)
+                        for arr in (bm_p1l, bm_p1g, bm_p2m):
+                            x, y = arr[j], arr[j + 1]
+                            arr[j] = jnp.where(swap, y, x)
+                            arr[j + 1] = jnp.where(swap, x, y)
+                for s in range(K):
+                    n = bm_node[s]
+
+                    @pl.when((bm_valid[s] != 0) & (n >= 0))
+                    def _ext_slot(n=n, s=s):
+                        _extend_node(n, bm_state[s], lo_t, hi_t)
+
+        # -------- expansion: vector columns + scalar child/alloc -------
+        # Per-tip (8, 1) columns built once from SMEM scalars; all
+        # candidate math runs on (CP, 1) columns.  Only the child-table
+        # lookups and the ordered allocation stay scalar.
+        n_nodes0 = misc[0]
+        p1rows = []
+        if crf:
+            for k in range(K):
+                p1rows.append(l1row(t, jnp.clip(bm_state[k], 0, S - 1)))
+        else:
+            r = l1row(t, 0)
+            p1rows = [r] * K
+
+        tip_lbl = []
+        for k in range(K):
+            n = bm_node[k]
+            tl = jnp.where(n >= 0, lab_s[jnp.clip(n, 0, N - 1)], -1)
+            tip_lbl.append(jnp.where(n >= 0, tl, -1))
+
+        def tips8_f(vals):
+            col = jnp.full((32, 1), NEG)
+            for k in range(K):
+                col = jnp.where(sub_e == k, vals[k], col)
+            return col
+
+        def tips8_i(vals, fill=0):
+            col = jnp.full((32, 1), fill, jnp.int32)
+            for k in range(K):
+                col = jnp.where(sub_e == k, vals[k], col)
+            return col
+
+        p1l8 = tips8_f([bm_p1l[k] for k in range(K)])
+        p1g8 = tips8_f([bm_p1g[k] for k in range(K)])
+        p1tot8 = _ls_add(p1l8, p1g8)
+        valid8 = tips8_i([bm_valid[k] for k in range(K)]) != 0
+        node8 = tips8_i([bm_node[k] for k in range(K)], fill=-2)
+        tiplbl8 = tips8_i(tip_lbl, fill=-9)
+        p08 = jnp.full((32, 1), NEG)
+        for k in range(K):
+            p08 = jnp.where(sub_e == k, p1rows[k][:, 0:1], p08)
+
+        plab_c = jnp.full((32, 1), NEG)
+        if crf:
+            for k in range(K):
+                for a in range(A):
+                    plab_c = jnp.where(
+                        (k_of_e == k) & (a_of_e == a),
+                        p1rows[k][:, a + 1 : a + 2],
+                        plab_c,
+                    )
+        else:
+            for a in range(A):
+                plab_c = jnp.where(a_of_e == a, p1rows[0][:, a + 1 : a + 2], plab_c)
+        p1l_c = to_e(p1l8, NEG)
+        p1g_c = to_e(p1g8, NEG)
+        p1tot_c = to_e(p1tot8, NEG)
+        valid_c = to_e(valid8.astype(jnp.int32), 0) != 0
+        gap_pos_c = p1g_c > NEG
+        pushed_c = valid_c & jnp.logical_not(plab_c < thr)
+        if collapse and not crf:
+            isrep_c = to_e(tiplbl8, -9) == a_of_e
+        else:
+            isrep_c = jnp.zeros((32, 1), bool)
+        nn_gate_c = jnp.logical_not(isrep_c) | gap_pos_c
+
+        # scalar sweep: child lookups + ordered allocation
+        # (reference add_node order; ops/beam.py _allocate_nodes_core)
+        pushed_i = pushed_c.astype(jnp.int32)
+        nn_gate_i = nn_gate_c.astype(jnp.int32)
+        ovf = jnp.int32(0) == jnp.int32(1)  # False scalar
+        for k in range(K):
+            n = bm_node[k]
+            for a in range(A):
+                idx = k * A + a
+                pushed = pushed_i[idx + 8, 0] != 0
+                c = child_of(n, jnp.int32(a), n_nodes0)
+                needs_new = pushed & (c < 0) & (nn_gate_i[idx + 8, 0] != 0)
+                nn = misc[0]
+                can = needs_new & (nn < N)
+                ovf = ovf | (needs_new & (nn >= N))
+
+                @pl.when(can)
+                def _alloc(n=n, a=a, nn=nn):
+                    child_s[(n + 1) * np.int32(A) + np.int32(a)] = nn
+                    par_s[nn] = n
+                    lab_s[nn] = jnp.int32(a)
+                    misc[0] = nn + 1
+
+                nid = jnp.where(c >= 0, c, jnp.where(can, nn, -1))
+                cand_id[idx] = nid
+                cand_new[idx] = jnp.where(can, 1, 0)
+
+        cid_c = jnp.full((32, 1), -1, jnp.int32)
+        for idx in range(KA):
+            cid_c = jnp.where(sub_e == idx + 8, cand_id[idx], cid_c)
+
+        # candidate masses, reference interleave (duplex.rs:536-592)
+        m1_c = jnp.where(isrep_c, p1l_c, p1tot_c) + plab_c
+        m2_c = p1g_c + plab_c
+        push1_c = pushed_c & (isrep_c | (cid_c >= 0))
+        push2_c = pushed_c & isrep_c & (cid_c >= 0)
+
+        # ---------------- build candidate bands (lane scan) ------------
+        _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8)
+
+        # ---------------- merge (analytic) + select --------------------
+        _merge_select(
+            t, push1_c, m1_c, push2_c, m2_c, isrep_c, cid_c,
+            node8, valid8, p1tot8, p08, ovf,
+        )
+
+    # ---------------------------------------------------------- extension
+    def _extend_node(n, state, lo_t, hi_t):
+        """Port of ops/duplex.py _extend_bands for one node (in place)."""
+        off = boff_s[n]
+        ln = blen_s[n]
+        row_l, row_g = node_row(n)
+
+        do_disc = lo_t > off
+        shift = (lo_t - 1) - off
+        sh_l = pltpu.roll(row_l, -shift, 1)
+        sh_g = pltpu.roll(row_g, -shift, 1)
+        emptied = (ln - shift) <= 0
+        newL = jnp.where(emptied, 0, ln - shift)
+        newoff = jnp.where(emptied, lo_t, lo_t - 1)
+        off2 = jnp.where(do_disc, newoff, off)
+        L2 = jnp.where(do_disc, newL, ln)
+        row_l = jnp.where(do_disc, sh_l, row_l)
+        row_g = jnp.where(do_disc, sh_g, row_g)
+        # discard_until + update_max(lo, hi)  (duplex.rs:350-359)
+        t2s = off2 + lane_w
+        win = (lane_w < L2) & (t2s >= lo_t) & (t2s < hi_t)
+        tots = _ls_add(row_l, row_g)
+        tots = jnp.where(win & jnp.logical_not(jnp.isnan(tots)), tots, NEG)
+        m2 = jnp.max(tots, axis=1, keepdims=True)  # (1,1)
+        mx = jnp.where(do_disc, m2, _c11(bmax_s[n]))
+
+        par = par_s[n]
+        lbl = lab_s[n]
+        par_ok = par >= 0
+        par_c = jnp.clip(par, 0, N - 1)
+        par_lbl = jnp.where(par_ok, lab_s[par_c], -1)
+        if crf:
+            prep = jnp.int32(0) == jnp.int32(1)
+        else:
+            # raw label equality, NOT gated on collapse (duplex.rs:510-511)
+            prep = par_lbl == lbl
+        poff = jnp.where(par_ok, boff_s[par_c], -1)
+        plen = jnp.where(par_ok, blen_s[par_c], np.int32(Rr))
+        prow_l, prow_g = node_row(par_c)
+
+        cur_end = off2 + L2
+        has_last = L2 > 0
+        ll0 = _lane_at(row_l, jnp.clip(L2 - 1, 0, WP - 1))
+        lg0 = _lane_at(row_g, jnp.clip(L2 - 1, 0, WP - 1))
+        last_lab = jnp.where(has_last, ll0, NEG)
+        last_gap = jnp.where(has_last, lg0, NEG)
+
+        def jcond(st):
+            return st[0] < hi_t
+
+        def jbody(st):
+            t2, row_l, row_g, last_lab, last_gap, mx = st
+            row2 = l2row(t2, state)
+            p0 = row2[:, 0:1]
+            p_lbl = lane_sel(row2, lbl)
+            gap_n = _ls_add(last_lab, last_gap) + p0
+            # parent band value at t2-1 (frozen parents read stale rows,
+            # live parents were extended in an earlier slot iteration)
+            pidx = t2 - 1 - poff
+            pok = (pidx >= 0) & (pidx < plen)
+            pidx_c = jnp.clip(pidx, 0, WP - 1)
+            pvl = jnp.where(
+                par_ok & pok, _lane_at(prow_l, pidx_c), NEG
+            )
+            rg_i = jnp.clip(t2, 0, Rr - 1)  # root: idx = (t2-1) + 1 = t2
+            rv = _c11(rg_ref[0, 0, rg_i])
+            rv = jnp.where(t2 < Rr, rv, NEG)
+            pvg = jnp.where(
+                par_ok,
+                jnp.where(pok, _lane_at(prow_g, pidx_c), NEG),
+                rv,
+            )
+            base = jnp.where(prep, pvg, _ls_add(pvl, pvg))
+            lab_n = p_lbl + _ls_add(last_lab, base)
+            widx = jnp.clip(t2 - off2, 0, WP - 1)
+            row_l = jnp.where(lane_w == widx, lab_n, row_l)
+            row_g = jnp.where(lane_w == widx, gap_n, row_g)
+            tot_n = _ls_add(lab_n, gap_n)
+            mx = _ls_max(mx, tot_n)
+            return (t2 + 1, row_l, row_g, lab_n, gap_n, mx)
+
+        st = jax.lax.while_loop(
+            jcond, jbody, (cur_end, row_l, row_g, last_lab, last_gap, mx)
+        )
+        _, row_l, row_g, _, _, mx = st
+        blab_ref[pl.ds(n, 1), :] = row_l
+        bgap_ref[pl.ds(n, 1), :] = row_g
+        boff_s[n] = off2
+        blen_s[n] = jnp.maximum(L2, hi_t - off2)
+        bmax_s[n] = mx[0, 0]
+
+    # ---------------------------------------------------------- build
+    def _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8):
+        """Bands for all K*A candidate children at once: a 7-level
+        log-affine lane scan over the window cells (duplex.rs:212-249
+        recurrence; scatter only the allocated ones)."""
+        # l2 window rows, lane w <-> t2 = lo + w
+        if crf:
+            l2wins = []
+            for k in range(K):
+                sk = jnp.clip(bm_state[k], 0, S - 1)
+                blk = l2T_ref[0, pl.ds(sk * np.int32(A1P), A1P), :]
+                # dynamic roll amounts wrap UNSIGNED mod the lane count, so
+                # negative shifts are only correct when lanes divide 2^32 —
+                # bias to the equivalent non-negative amount
+                l2wins.append(
+                    pltpu.roll(blk, np.int32(blk.shape[1]) - lo_t, 1)[:, :WP]
+                )
+            plc = jnp.full((CP, WP), NEG)
+            p0c = jnp.full((CP, WP), NEG)
+            for k in range(K):
+                p0c = jnp.where(k_of_c == k, l2wins[k][0:1, :], p0c)
+                for a in range(A):
+                    plc = jnp.where(
+                        (k_of_c == k) & (a_of_c == a),
+                        l2wins[k][a + 1 : a + 2, :],
+                        plc,
+                    )
+        else:
+            # see CRF branch: roll amounts must be non-negative
+            l2win = pltpu.roll(
+                l2T_ref[0], np.int32(l2T_ref.shape[2]) - lo_t, 1
+            )[:, :WP]
+            p0c = jnp.broadcast_to(l2win[0:1, :], (CP, WP))
+            plc = jnp.full((CP, WP), NEG)
+            for a in range(A):
+                plc = jnp.where(a_of_c == a, l2win[a + 1 : a + 2, :], plc)
+        # mask cells past the true l2 range (roll wraps)
+        cell_ok = (lo_t + lane_w) < np.int32(T2)
+        plc = jnp.where(cell_ok, plc, NEG)
+        p0c = jnp.where(cell_ok, p0c, NEG)
+
+        # parent (tip) band values at t2 = wb + w, aligned to base wb
+        pv_gap_c = jnp.full((CP, WP), NEG)
+        pv_tot_c = jnp.full((CP, WP), NEG)
+        rg_al = pltpu.roll(
+            rgT_ref[0], np.int32(rgT_ref.shape[2]) - (wb + 1), 1
+        )[:, :WP]
+        rg_al = jnp.where((wb + 1 + lane_w) < np.int32(Rr), rg_al, NEG)
+        for k in range(K):
+            n = bm_node[k]
+            is_root = n < 0
+            nc = jnp.clip(n, 0, N - 1)
+            row_l, row_g = node_row(nc)
+            sh = wb - boff_s[nc]
+            al_l = pltpu.roll(row_l, -sh, 1)
+            al_g = pltpu.roll(row_g, -sh, 1)
+            okm = (lane_w >= -sh) & (lane_w < (blen_s[nc] - sh))
+            p_lab = jnp.where(okm & jnp.logical_not(is_root), al_l, NEG)
+            p_gap = jnp.where(okm, al_g, NEG)
+            p_gap = jnp.where(is_root, rg_al, p_gap)
+            p_lab = jnp.where(is_root, NEG, p_lab)
+            p_tot = _ls_add(p_lab, p_gap)
+            sel = k_of_c == k
+            pv_gap_c = jnp.where(sel, p_gap, pv_gap_c)
+            pv_tot_c = jnp.where(sel, p_tot, pv_tot_c)
+
+        if collapse and not crf:
+            tl_c = jnp.full((CP, 1), -9, jnp.int32)
+            for k in range(K):
+                tl_c = jnp.where(k_of_c == k, tiplbl8[k : k + 1, :], tl_c)
+            is_rep_c = tl_c == a_of_c
+        else:
+            is_rep_c = jnp.zeros((CP, 1), bool)
+        base = jnp.where(is_rep_c, pv_gap_c, pv_tot_c)
+
+        # affine scan state: M = [[m11, -inf], [m21, m22]], c = (cl, ct)
+        m11 = plc
+        m21 = plc
+        m22 = p0c
+        cl = plc + base
+        ct = cl
+
+        for lev in range(7):  # log2(128)
+            sft = 1 << lev
+            e_m11 = pltpu.roll(m11, sft, 1)
+            e_m21 = pltpu.roll(m21, sft, 1)
+            e_m22 = pltpu.roll(m22, sft, 1)
+            e_cl = pltpu.roll(cl, sft, 1)
+            e_ct = pltpu.roll(ct, sft, 1)
+            idm = lane_w < sft  # identity for the first 2^lev lanes
+            e_m11 = jnp.where(idm, 0.0, e_m11)
+            e_m21 = jnp.where(idm, NEG, e_m21)
+            e_m22 = jnp.where(idm, 0.0, e_m22)
+            e_cl = jnp.where(idm, NEG, e_cl)
+            e_ct = jnp.where(idm, NEG, e_ct)
+            n_m11 = m11 + e_m11
+            n_m21 = _ls_add(m21 + e_m11, m22 + e_m21)
+            n_m22 = m22 + e_m22
+            n_cl = _ls_add(m11 + e_cl, cl)
+            n_ct = _ls_add(_ls_add(m21 + e_cl, m22 + e_ct), ct)
+            m11, m21, m22, cl, ct = n_m11, n_m21, n_m22, n_cl, n_ct
+
+        lab_rows = cl  # (CP, WP): band label values, lane w <-> t2 = lo + w
+        gap_sh = pltpu.roll(ct, 1, 1)
+        gap_sh = jnp.where(lane_w == 0, NEG, gap_sh)
+        gap_rows = gap_sh + p0c
+
+        tot_m = _ls_add(lab_rows, gap_rows)
+        jmask = lane_w < (hi_t - lo_t)
+        tot_m = jnp.where(
+            jmask & jnp.logical_not(jnp.isnan(tot_m)), tot_m, NEG
+        )
+        bmax_col = jnp.max(tot_m, axis=1, keepdims=True)  # (CP, 1)
+
+        # scatter allocated candidates into the node tables
+        for idx in range(KA):
+
+            @pl.when(cand_new[idx] != 0)
+            def _scatter(idx=idx):
+                nid = cand_id[idx]
+                blab_ref[pl.ds(nid, 1), :] = lab_rows[idx : idx + 1, :]
+                bgap_ref[pl.ds(nid, 1), :] = gap_rows[idx : idx + 1, :]
+                boff_s[nid] = lo_t
+                blen_s[nid] = hi_t - lo_t
+                bmax_s[nid] = bmax_col[idx : idx + 1, 0:1][0, 0]
+
+    # ---------------------------------------------------------- merge/select
+    def _merge_select(
+        t, push1_c, m1_c, push2_c, m2_c, isrep_c, cid_c,
+        node8, valid8, p1tot8, p08, ovf,
+    ):
+        """Analytic merge + top-K, fully on (8,1)/(CP,1) columns.
+
+        A node receives at most blank + stay + one arrival (children are
+        unique, tips deduplicated), so the reference's sort-based merge
+        (duplex.rs:595-618) collapses to three masked reductions per tip;
+        ls_add is commutative by operand ordering, so fold order is
+        immaterial.  NaN masses propagate through jnp.max (only hit lanes
+        are unmasked)."""
+        # blank per tip (duplex.rs:530-535)
+        push_b8 = valid8 & (p08 > thr)
+        g8 = jnp.where(push_b8, p1tot8 + p08, NEG)
+
+        stay_sel = push1_c & isrep_c  # targets its own tip's node
+        arr1_sel = push1_c & jnp.logical_not(isrep_c)
+        arr2_sel = push2_c
+        stay8 = jnp.full((32, 1), NEG)
+        arr18 = jnp.full((32, 1), NEG)
+        arr28 = jnp.full((32, 1), NEG)
+        hit8 = jnp.zeros((32, 1), jnp.int32)
+
+        def red_f(sel, m):
+            return jnp.max(jnp.where(sel, m, NEG), axis=0, keepdims=True)
+
+        def red_b(sel):
+            return jnp.max(
+                jnp.where(sel, 1, 0), axis=0, keepdims=True
+            )
+
+        for j in range(K):
+            n_j = bm_node[j]
+            sel_s = stay_sel & (k_of_e == j)
+            sel_1 = arr1_sel & (cid_c == n_j)
+            sel_2 = arr2_sel & (cid_c == n_j)
+            row = sub_e == j
+            stay8 = jnp.where(row, red_f(sel_s, m1_c), stay8)
+            arr18 = jnp.where(row, red_f(sel_1, m1_c), arr18)
+            arr28 = jnp.where(row, red_f(sel_2, m2_c), arr28)
+            hit8 = jnp.where(row, red_b(sel_s | sel_1 | sel_2), hit8)
+
+        l8 = _ls_add(_ls_add(stay8, arr18), arr28)
+        valid_e8 = push_b8 | (hit8 != 0)
+        p2m8 = jnp.full((32, 1), NEG)
+        st8 = jnp.zeros((32, 1), jnp.int32)
+        for j in range(K):
+            n_j = bm_node[j]
+            p2m_j = jnp.where(
+                n_j >= 0, bmax_s[jnp.clip(n_j, 0, N - 1)], bm_p2m[j]
+            )
+            row = sub_e == j
+            p2m8 = jnp.where(row, p2m_j, p2m8)
+            st8 = jnp.where(row, bm_state[j], st8)
+
+        # fresh entries: pushes whose target is not a live tip
+        live_c = jnp.zeros((32, 1), bool)
+        for j in range(K):
+            live_c = live_c | (
+                (cid_c == bm_node[j]) & (bm_valid[j] != 0)
+            )
+        fresh_c = (arr1_sel | (arr2_sel & (cid_c >= 0))) & jnp.logical_not(
+            live_c
+        )
+        lmass_c = jnp.where(push2_c, m2_c, m1_c)
+        p2mf_c = jnp.full((32, 1), NEG)
+        for idx in range(KA):
+            p2mf_c = jnp.where(
+                sub_e == idx + 8,
+                bmax_s[jnp.clip(cand_id[idx], 0, N - 1)],
+                p2mf_c,
+            )
+        if crf:
+            stf_c = (
+                to_e(st8 * np.int32(A), 0) % np.int32(S) + a_of_e
+            ).astype(jnp.int32)
+        else:
+            stf_c = jnp.zeros((32, 1), jnp.int32)
+
+        # fuse the two row regions with selects (same (32,1) layout);
+        # bool-valued selects lower through an i8 truncation Mosaic lacks,
+        # so ride int32
+        valid32 = (
+            jnp.where(
+                is_tip_e,
+                valid_e8.astype(jnp.int32),
+                fresh_c.astype(jnp.int32),
+            )
+            != 0
+        )
+        col_id = jnp.where(
+            is_tip_e,
+            jnp.where(valid_e8, node8, _I32_MAX),
+            jnp.where(fresh_c, cid_c, _I32_MAX),
+        )
+        col_l = jnp.where(is_tip_e, l8, lmass_c)
+        col_g = jnp.where(is_tip_e, g8, NEG)
+        col_p2m = jnp.where(is_tip_e, p2m8, p2mf_c)
+        col_st = jnp.where(is_tip_e, st8, stf_c)
+
+        score32 = _ls_add(col_l, col_g) + col_p2m
+        isn = jnp.isnan(score32)
+        col_key = jnp.where(
+            valid32, jnp.where(isn, POS_INF, score32 + 0.0), NEG
+        )
+        cnt = jnp.sum(
+            jnp.where(valid32, 1, 0), axis=0, keepdims=True
+        )[0, 0]
+        any_nan = (
+            jnp.max(
+                jnp.where(valid32 & isn, 1, 0), axis=0, keepdims=True
+            )[0, 0]
+            != 0
+        )
+        nan_flag = (cnt >= 2) & any_nan
+        empty_flag = cnt == 0
+
+        # top-K: (score desc, ties ascending node id) — duplex.rs:619-635
+        for r in range(K):
+            mx = jnp.max(col_key, axis=0, keepdims=True)  # (1,1)
+            slot_ok = _sbool(mx > NEG)
+            at = col_key == mx
+            sid = jnp.min(
+                jnp.where(at, col_id, _I32_MAX), axis=0, keepdims=True
+            )
+            chosen = at & (col_id == sid)
+
+            def pick_f(colv):
+                return jnp.sum(
+                    jnp.where(chosen, colv, 0.0), axis=0, keepdims=True
+                )[0, 0]
+
+            def pick_i(colv):
+                return jnp.sum(
+                    jnp.where(chosen, colv, 0), axis=0, keepdims=True
+                )[0, 0]
+
+            bm_node[r] = jnp.where(slot_ok, pick_i(col_id), -2)
+            bm_state[r] = jnp.where(slot_ok, pick_i(col_st), 0)
+            bm_valid[r] = jnp.where(slot_ok, 1, 0)
+            bm_p1l[r] = jnp.where(slot_ok, pick_f(col_l), NEG)
+            bm_p1g[r] = jnp.where(slot_ok, pick_f(col_g), NEG)
+            bm_p2m[r] = jnp.where(slot_ok, pick_f(col_p2m), NEG)
+            col_key = jnp.where(chosen, NEG, col_key)
+
+        step_err = jnp.where(
+            ovf,
+            errors.NODE_OVERFLOW,
+            jnp.where(
+                nan_flag,
+                errors.INCOMPARABLE_VALUES,
+                jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+            ),
+        )
+        misc[1] = jnp.where(
+            misc[1] > 0, misc[1], step_err
+        ).astype(jnp.int32)
+
+    jax.lax.fori_loop(0, T1, step, 0, unroll=False)
+
+    # ------------------------------------------------------- traceback
+    labs0 = jnp.where(lane_out >= -1 - length, -1, lane_out)  # == -1 (anchored)
+
+    def tcond(st):
+        return st[0] >= 0
+
+    def tbody(st):
+        cur, i, labs = st
+        cc = jnp.clip(cur, 0, N - 1)
+        labs = jnp.where(lane_out == i, lab_s[cc], labs)
+        return (par_s[cc], i + 1, labs)
+
+    cur0 = bm_node[0]
+    _, count, labs = jax.lax.while_loop(
+        tcond, tbody, (cur0, jnp.int32(0), labs0)
+    )
+    out = jnp.where(lane_out == np.int32(T1L - 2), count, labs)
+    out = jnp.where(lane_out == np.int32(T1L - 1), misc[1], out)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beam_size", "collapse_repeats", "max_nodes", "crf", "needs_ext",
+        "interpret",
+    ),
+)
+def duplex_exact_pallas_batch(
+    l1,  # [B, T1, A+1] log probs ([B, T1, S, A+1] for crf)
+    l2,  # [B, T2, A+1] ([B, T2, S, A+1])
+    root_gap,  # [B, Wr] (pad with -inf past each read's root band)
+    lo,  # [B, T1] i32 per-pair envelopes (clamped)
+    hi,  # [B, T1] i32
+    threshold_log,
+    init_states,  # [B] i32
+    lengths,  # [B] i32
+    *,
+    beam_size: int,
+    collapse_repeats: bool,
+    max_nodes: int,
+    crf: bool,
+    needs_ext: bool,
+    interpret: bool = False,
+):
+    """Reference-band-reuse duplex decode, one read per grid program.
+
+    Same inputs/outputs as ops.duplex.duplex_exact_batch (W/Wr/Wext are
+    not needed: band rows are fixed 128-lane vectors — callers must check
+    the envelope's retained window W <= 126 first).  Reads that exceed
+    ``max_nodes`` return err=NODE_OVERFLOW.
+    """
+    if crf:
+        B, T1, S, A1 = l1.shape
+    else:
+        B, T1, A1 = l1.shape
+        S = 1
+    T2 = l2.shape[1]
+    A = A1 - 1
+    K = beam_size
+    if K > 8 or K * A > 32 - K:
+        raise ValueError("duplex_exact_pallas supports K <= 8, K*(A+1) <= 32")
+    N = int(max_nodes)
+    T1L = -(-(T1 + 2) // 128) * 128
+    Rr = T2 + 2
+    Rrp = -(-(Rr + WP + 2) // 128) * 128
+    T2p = -(-(T2 + WP + 2) // 128) * 128
+
+    f32 = jnp.float32
+    l1p = jnp.pad(
+        jnp.asarray(l1, f32).reshape(B, T1 * S, A1),
+        ((0, 0), (0, 0), (0, A1P - A1)),
+    )
+    l2p = jnp.pad(
+        jnp.asarray(l2, f32).reshape(B, T2 * S, A1),
+        ((0, 0), (0, 0), (0, A1P - A1)),
+        constant_values=NEG,
+    )
+    # lane-major l2: row (s*A1P + a), lane t2
+    if crf:
+        l2T = jnp.transpose(
+            jnp.pad(
+                jnp.asarray(l2, f32), ((0, 0), (0, 0), (0, 0), (0, A1P - A1)),
+                constant_values=NEG,
+            ),
+            (0, 2, 3, 1),
+        ).reshape(B, S * A1P, T2)
+    else:
+        l2T = jnp.transpose(l2p, (0, 2, 1))
+    l2T = jnp.pad(l2T, ((0, 0), (0, 0), (0, T2p - T2)), constant_values=NEG)
+
+    Wr_in = root_gap.shape[1]
+    rg = jnp.pad(
+        jnp.asarray(root_gap, f32),
+        ((0, 0), (0, max(Rr - Wr_in, 0))),
+        constant_values=NEG,
+    )[:, :Rr]
+    rgT = jnp.pad(rg, ((0, 0), (0, Rrp - Rr)), constant_values=NEG)
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(init_states, jnp.int32),
+        ]
+        + [jnp.zeros((B,), jnp.int32)] * 6,
+        axis=1,
+    )  # [B, 8]
+    lo_in = jnp.asarray(lo, jnp.int32)
+    hi_in = jnp.asarray(hi, jnp.int32)
+    thr = jnp.asarray(threshold_log, f32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _exact_duplex_kernel,
+        K=K, A=A, S=S, T1=T1, T2=T2, Rr=Rr, N=N, T1L=T1L,
+        collapse=collapse_repeats, crf=crf, needs_ext=needs_ext,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            # per-read blocks are 3-D (1, rows, cols) so the trailing two
+            # block dims equal the array dims (Mosaic block-shape rule)
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, T1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, T1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Rr), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T1 * S, A1P), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, T2 * S, A1P), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S * A1P, T2p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Rrp), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T1L), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, T1L), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((N, WP), jnp.float32),
+            pltpu.VMEM((N, WP), jnp.float32),
+            pltpu.SMEM((N,), jnp.int32),
+            pltpu.SMEM((N,), jnp.int32),
+            pltpu.SMEM((N,), jnp.float32),
+            pltpu.SMEM((N,), jnp.int32),
+            pltpu.SMEM((N,), jnp.int32),
+            pltpu.SMEM(((N + 1) * A,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SMEM((32,), jnp.int32),
+            pltpu.SMEM((32,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        scal.reshape(B, 1, 8),
+        lo_in.reshape(B, 1, T1),
+        hi_in.reshape(B, 1, T1),
+        rg.reshape(B, 1, Rr),
+        thr,
+        l1p.reshape(B, T1 * S, A1P),
+        l2p.reshape(B, T2 * S, A1P),
+        l2T.reshape(B, S * A1P, T2p),
+        rgT.reshape(B, 1, Rrp),
+    )
+    out = out.reshape(B, T1L)
+    return {
+        "labels_rev": out[:, :T1],
+        "count": out[:, T1L - 2],
+        "err": out[:, T1L - 1],
+    }

@@ -529,7 +529,7 @@ class BatchDuplexDecoder:
         self.collapse = bool(collapse_repeats)
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self._sharding = batch_sharding(self.mesh)
-        if engine not in (None, "pallas", "fast", "exact"):
+        if engine not in (None, "pallas", "fast", "exact", "exact-pallas"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
 
@@ -628,10 +628,9 @@ class BatchDuplexDecoder:
         if engine is None:
             # auto is parity-first, mirroring api._pick_duplex_engine: the
             # slot-band engines are sequence-exact only for constant-window
-            # envelopes; moving windows go to the bit-exact tree engine
-            # (batched + 20x faster than round 1, but orders of magnitude
-            # below the Pallas fast kernel — pass engine="pallas" to trade
-            # reference band-reuse semantics for throughput)
+            # envelopes; moving windows need reference band-reuse semantics
+            # — the fused tree kernel (ops/duplex_exact_pallas.py) on TPU,
+            # the batched XLA tree engine elsewhere
             constant_window = bool(
                 np.all(los == los[0, 0]) and np.all(his == his[0, 0])
             )
@@ -650,67 +649,14 @@ class BatchDuplexDecoder:
                 "band width <= 256 (see BatchDuplexDecoder._pallas_eligible)"
             )
 
-        if engine == "exact":
-            from ..ops import duplex as duplex_ops
-
-            eps = [
-                duplex_ops._prep_envelope(np.asarray(envelopes[b]), T2)
-                for b in range(1 if shared_env else B)
-            ]
-            We = max(e[2] for e in eps)
-            Wre = max(e[3] for e in eps)
-            ne = any(e[4] for e in eps)
-            Wxe = max(e[5] for e in eps)
-            N = duplex_ops._duplex_max_nodes(
-                T1, self.beam_size, len(self.alphabet) - 1, We
+        if engine in ("exact", "exact-pallas"):
+            out = _exact_engine_out(
+                self, l1, l2, root_gap, los, his,
+                np.asarray(lengths, np.int32), thr, envelopes, shared_env,
+                engine, crf=False,
+                collapse=self.collapse,
+                init_states=np.zeros((B,), np.int32),
             )
-            # chunk so band tables stay within ~2 GB of HBM per call
-            per_read = N * We * 8
-            n_dev = len(self.mesh.devices.reshape(-1))
-            chunk = max(int(2e9 // max(per_read, 1)), 1) * n_dev
-            outs = []
-            fn = jax.jit(
-                jax.shard_map(
-                    lambda a, c, rg, lo_, hi_, ln: duplex_ops.duplex_exact_batch(
-                        a, c, rg, lo_, hi_, thr,
-                        jnp.zeros(a.shape[0], jnp.int32), ln,
-                        beam_size=self.beam_size,
-                        collapse_repeats=self.collapse,
-                        max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
-                        needs_ext=ne, crf=False,
-                    ),
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 6,
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )
-            )
-            lengths = np.asarray(lengths, np.int32)
-            # B and chunk are both multiples of the device count.  The ~2 GB
-            # chunk sizing is a heuristic; if a W/max_nodes miscount still
-            # overflows HBM, catch the device OOM and halve the chunk
-            # instead of aborting the batch.
-            s = 0
-            while s < B:
-                e = min(s + chunk, B)
-                try:
-                    outs.append(
-                        jax.device_get(
-                            fn(
-                                l1[s:e], l2[s:e], root_gap[s:e],
-                                los[s:e], his[s:e], lengths[s:e],
-                            )
-                        )
-                    )
-                except jax.errors.JaxRuntimeError as exc:
-                    if "RESOURCE_EXHAUSTED" not in str(exc) or chunk <= n_dev:
-                        raise
-                    chunk = max(chunk // 2 - (chunk // 2) % n_dev, n_dev)
-                    continue
-                s = e
-            out = {
-                k: np.concatenate([o[k] for o in outs]) for k in outs[0]
-            }
             return self._assemble(out, B0)
 
         if engine == "pallas":
@@ -783,6 +729,136 @@ def _assemble_duplex(out, B0, alphabet):
     ]
 
 
+def _exact_pallas_ok(We, beam_size, A):
+    """Static eligibility of the fused tree kernel
+    (ops/duplex_exact_pallas.py): band rows are 128-lane vectors and the
+    candidate/entry space is 32 sublanes."""
+    from ..ops import duplex_exact_pallas as dxp
+
+    return We <= dxp.WP - 2 and beam_size <= 8 and beam_size * (A + 1) <= 32
+
+
+def _exact_engine_out(
+    dec, l1, l2, root_gap, los, his, lengths, thr, envelopes, shared_env,
+    engine, *, crf, collapse, init_states,
+):
+    """Reference-band-reuse decode of a prepared batch: the fused Pallas
+    tree kernel when eligible (engine auto on TPU, or "exact-pallas"),
+    the batched XLA tree engine otherwise.  Reads that overflow the
+    kernel's node budget are re-run on the XLA engine (its budget is the
+    true worst case), so the result is always complete."""
+    from ..ops import duplex as duplex_ops
+
+    B, T1 = los.shape
+    T2 = l2.shape[1]
+    A = len(dec.alphabet) - 1
+    eps = [
+        duplex_ops._prep_envelope(np.asarray(envelopes[b]), T2)
+        for b in range(1 if shared_env else B)
+    ]
+    We = max(e[2] for e in eps)
+    Wre = max(e[3] for e in eps)
+    ne = any(e[4] for e in eps)
+    Wxe = max(e[5] for e in eps)
+    N = duplex_ops._duplex_max_nodes(T1, dec.beam_size, A, We)
+    ok = _exact_pallas_ok(We, dec.beam_size, A)
+    if engine == "exact-pallas" and not ok:
+        raise ValueError(
+            "engine='exact-pallas' needs band width <= 126 and "
+            "beam_size*(n_labels+1) <= 32"
+        )
+    use_pallas = (
+        engine == "exact-pallas"
+        or (dec.engine is None and jax.default_backend() == "tpu" and ok)
+    )
+
+    def xla_out(l1x, l2x, rgx, lox, hix, stx, lnx):
+        # chunk so band tables stay within ~2 GB of HBM per call
+        per_read = N * We * 8
+        n_dev = len(dec.mesh.devices.reshape(-1))
+        chunk = max(int(2e9 // max(per_read, 1)), 1) * n_dev
+        fn = jax.jit(
+            jax.shard_map(
+                lambda a, c, rg, lo_, hi_, st, ln: duplex_ops.duplex_exact_batch(
+                    a, c, rg, lo_, hi_, thr, st, ln,
+                    beam_size=dec.beam_size,
+                    collapse_repeats=collapse,
+                    max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
+                    needs_ext=ne, crf=crf,
+                ),
+                mesh=dec.mesh,
+                in_specs=(P(DATA_AXIS),) * 7,
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+        )
+        outs = []
+        # the ~2 GB chunk sizing is a heuristic; if a W/max_nodes miscount
+        # still overflows HBM, catch the device OOM and halve the chunk
+        # instead of aborting the batch
+        s = 0
+        Bx = l1x.shape[0]
+        while s < Bx:
+            e = min(s + chunk, Bx)
+            try:
+                outs.append(
+                    jax.device_get(
+                        fn(
+                            l1x[s:e], l2x[s:e], rgx[s:e], lox[s:e],
+                            hix[s:e], stx[s:e], lnx[s:e],
+                        )
+                    )
+                )
+            except jax.errors.JaxRuntimeError as exc:
+                if "RESOURCE_EXHAUSTED" not in str(exc) or chunk <= n_dev:
+                    raise
+                chunk = max(chunk // 2 - (chunk // 2) % n_dev, n_dev)
+                continue
+            s = e
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    if not use_pallas:
+        return xla_out(l1, l2, root_gap, los, his, init_states, lengths)
+
+    from ..ops import duplex_exact_pallas as dxp
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda a, c, rg, lo_, hi_, st, ln: dxp.duplex_exact_pallas_batch(
+                a, c, rg, lo_, hi_, thr, st, ln,
+                beam_size=dec.beam_size, collapse_repeats=collapse,
+                max_nodes=min(N, 4096), crf=crf, needs_ext=ne,
+                interpret=jax.default_backend() != "tpu",
+            ),
+            mesh=dec.mesh,
+            in_specs=(P(DATA_AXIS),) * 7,
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+    out = jax.device_get(
+        fn(l1, l2, root_gap, los, his, init_states, lengths)
+    )
+    out = {k: np.array(v) for k, v in out.items()}  # writable copies
+    bad = np.flatnonzero(out["err"] == errors.NODE_OVERFLOW)
+    if len(bad):
+        # pad the overflow subset to a full device batch for the rerun
+        n_dev = len(dec.mesh.devices.reshape(-1))
+        padded = np.concatenate(
+            [bad, np.repeat(bad[-1:], (-len(bad)) % n_dev)]
+        )
+        sub = xla_out(
+            l1[padded], l2[padded], root_gap[padded], los[padded],
+            his[padded], init_states[padded], lengths[padded],
+        )
+        n = len(bad)
+        Tl = out["labels_rev"].shape[1]
+        out["labels_rev"][bad] = sub["labels_rev"][:n, :Tl]
+        out["count"][bad] = sub["count"][:n]
+        out["err"][bad] = sub["err"][:n]
+    return out
+
+
 class BatchCrfDuplexDecoder:
     """Batched, mesh-sharded 2-D CRF duplex pair-consensus decoder
     (reference /root/reference/src/duplex.rs:652-834).
@@ -821,7 +897,7 @@ class BatchCrfDuplexDecoder:
         self.beam_size = int(beam_size)
         self.threshold = float(beam_cut_threshold)
         self.mesh = mesh if mesh is not None else make_data_mesh()
-        if engine not in (None, "fast", "exact"):
+        if engine not in (None, "fast", "exact", "exact-pallas"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
 
@@ -904,34 +980,11 @@ class BatchCrfDuplexDecoder:
             )
             engine = "fast" if constant_window else "exact"
 
-        if engine == "exact":
-            from ..ops import duplex as duplex_ops
-
-            exact_eps = [
-                duplex_ops._prep_envelope(np.asarray(envelopes[b]), T2)
-                for b in range(1 if shared_env else B)
-            ]
-            We = max(e[2] for e in exact_eps)
-            Wre = max(e[3] for e in exact_eps)
-            ne = any(e[4] for e in exact_eps)
-            Wxe = max(e[5] for e in exact_eps)
-            N = duplex_ops._duplex_max_nodes(T1, self.beam_size, A, We)
-            out = jax.device_get(
-                jax.jit(
-                    jax.shard_map(
-                        lambda a, c, rg, lo_, hi_, st, ln: duplex_ops.duplex_exact_batch(
-                            a, c, rg, lo_, hi_, thr, st, ln,
-                            beam_size=self.beam_size,
-                            collapse_repeats=False,
-                            max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
-                            needs_ext=ne, crf=True,
-                        ),
-                        mesh=self.mesh,
-                        in_specs=(P(DATA_AXIS),) * 7,
-                        out_specs=P(DATA_AXIS),
-                        check_vma=False,
-                    )
-                )(l1, l2, root_gap, los, his, init_states, lengths)
+        if engine in ("exact", "exact-pallas"):
+            out = _exact_engine_out(
+                self, l1, l2, root_gap, los, his, lengths, thr,
+                envelopes, shared_env, engine, crf=True,
+                collapse=False, init_states=init_states,
             )
             return _assemble_duplex(out, B0, self.alphabet)
 
