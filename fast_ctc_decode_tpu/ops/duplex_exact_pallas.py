@@ -112,6 +112,7 @@ def _exact_duplex_kernel(
     hi_ref,  # SMEM (1, T1) i32
     rg_ref,  # SMEM (1, Rr) f32 root gap values (rg[i] = value at t2 = i-1)
     thr_ref,  # SMEM (1, 1) f32 log threshold
+    l1s_ref,  # SMEM (1, 1, L1S) f32 — flat l1 rows for scalar reads (plain)
     l1_ref,  # VMEM (T1*S, A1P) f32 rows (t*S + state; S=1 when not crf)
     l2_ref,  # VMEM (T2*S, A1P) f32 rows
     l2T_ref,  # VMEM (S*A1P, T2p) f32 lane-major (row s*A1P + a)
@@ -130,9 +131,9 @@ def _exact_duplex_kernel(
     bm_node,  # SMEM (8,) i32
     bm_state,  # SMEM (8,) i32
     bm_valid,  # SMEM (8,) i32
-    bm_p1l,  # SMEM (8,) f32
-    bm_p1g,  # SMEM (8,) f32
-    bm_p2m,  # SMEM (8,) f32
+    bm_gp,  # SMEM (8,) i32 — gap_prob > 0 bit per tip
+    perm,  # SMEM (8,) i32 — extension-sort permutation scratch
+    beamf_ref,  # VMEM (32, 8) f32 — beam float state: lanes 0=p1l 1=p1g 2=p2m
     cand_id,  # SMEM (32,) i32 per-candidate target node id
     cand_new,  # SMEM (32,) i32 1 if allocated this step
     misc,  # SMEM (8,) i32: [0]=n_nodes [1]=err [2]=last_upper
@@ -160,6 +161,7 @@ def _exact_duplex_kernel(
     # (one layout for expansion/merge/selection — Mosaic cannot concat
     # sublane blocks with mismatched minor offsets)
     sub_e = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    sub_t8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     a_of_e = (sub_e - 8) % np.int32(A)
     k_of_e = (sub_e - 8) // np.int32(A)
     is_tip_e = sub_e < 8
@@ -173,12 +175,28 @@ def _exact_duplex_kernel(
         bm_node[k] = jnp.int32(-1) if k == 0 else jnp.int32(-2)
         bm_state[k] = jnp.where(k == 0, init_state, 0)
         bm_valid[k] = jnp.int32(1 if k == 0 else 0)
-        bm_p1l[k] = jnp.float32(-np.inf)
-        bm_p1g[k] = jnp.float32(0.0) if k == 0 else jnp.float32(-np.inf)
-        bm_p2m[k] = jnp.float32(0.0) if k == 0 else jnp.float32(-np.inf)
+        bm_gp[k] = jnp.int32(1 if k == 0 else 0)
+    # beam float state lives in vector-land (beamf): the per-step
+    # vector->scalar extractions it would otherwise need stall the scalar
+    # pipeline (~0.2 us each)
+    row0_e = sub_e == 0
+    beamf_ref[:, 0:1] = jnp.full((32, 1), NEG)
+    beamf_ref[:, 1:2] = jnp.where(row0_e, 0.0, NEG)
+    beamf_ref[:, 2:3] = jnp.where(row0_e, 0.0, NEG)
     misc[0] = jnp.int32(0)  # n_nodes
     misc[1] = jnp.int32(errors.OK)
     misc[2] = jnp.int32(0)  # last_upper
+    # one-time zero-probability detection for the whole read: a per-step
+    # vector->scalar predicate would stall the scalar pipeline every step
+    # (measured ~0.44 us/step); reads with any true-zero l2 probability
+    # take the -inf-closed matrix scan for every build instead
+    zrows = l2_ref[0, :, :]
+    zany = jnp.min(
+        jnp.min(zrows[:, : A + 1], axis=1, keepdims=True),
+        axis=0,
+        keepdims=True,
+    )[0, 0]
+    misc[3] = jnp.where(zany > NEG, 0, 1).astype(jnp.int32)
 
     def node_row(n):
         """Band rows of node ``n`` (caller guarantees 0 <= n < N)."""
@@ -220,7 +238,7 @@ def _exact_duplex_kernel(
         return out
 
     # ------------------------------------------------------------- step
-    def step(t, _):
+    def step(t, _, *, zero_safe):
         lo_t = lo_ref[0, 0, t]
         hi_t = jnp.minimum(hi_ref[0, 0, t], np.int32(T2))
         lo_t = jnp.maximum(lo_t, 0)
@@ -236,12 +254,12 @@ def _exact_duplex_kernel(
 
         @pl.when(alive & in_range & jnp.logical_not(env_bad))
         def _active_step():
-            _do_step(t, lo_t, hi_t, last_upper)
+            _do_step(t, lo_t, hi_t, last_upper, zero_safe)
             misc[2] = hi_t
 
         return 0
 
-    def _do_step(t, lo_t, hi_t, last_upper):
+    def _do_step(t, lo_t, hi_t, last_upper, zero_safe):
         wb = lo_t - 1
 
         # ---------------- extension (parents before children) ----------
@@ -251,6 +269,8 @@ def _exact_duplex_kernel(
             def _extend():
                 # stable node-sort of the beam, invalid slots last
                 # (reference sorts in place before extending, duplex.rs:493)
+                for k in range(K):
+                    perm[k] = jnp.int32(k)
                 for i in range(K):
                     for j in range(K - 1 - i):
                         nj = bm_node[j]
@@ -258,20 +278,26 @@ def _exact_duplex_kernel(
                         kj = jnp.where(bm_valid[j] != 0, nj, _I32_MAX)
                         kj1 = jnp.where(bm_valid[j + 1] != 0, nj1, _I32_MAX)
                         swap = kj > kj1
-                        for arr in (bm_node, bm_state, bm_valid):
+                        for arr in (bm_node, bm_state, bm_valid, bm_gp, perm):
                             x, y = arr[j], arr[j + 1]
                             arr[j] = jnp.where(swap, y, x)
                             arr[j + 1] = jnp.where(swap, x, y)
-                        for arr in (bm_p1l, bm_p1g, bm_p2m):
-                            x, y = arr[j], arr[j + 1]
-                            arr[j] = jnp.where(swap, y, x)
-                            arr[j + 1] = jnp.where(swap, x, y)
-                for s in range(K):
-                    n = bm_node[s]
-
-                    @pl.when((bm_valid[s] != 0) & (n >= 0))
-                    def _ext_slot(n=n, s=s):
-                        _extend_node(n, bm_state[s], lo_t, hi_t)
+                # apply the same permutation to the vector float state
+                old_l = beamf_ref[:, 0:1]
+                old_g = beamf_ref[:, 1:2]
+                old_m = beamf_ref[:, 2:3]
+                new_l, new_g, new_m = old_l, old_g, old_m
+                for r in range(K):
+                    rowr = sub_e == r
+                    for j in range(K):
+                        hitp = rowr & (perm[r] == j)
+                        new_l = jnp.where(hitp, old_l[j : j + 1, 0:1], new_l)
+                        new_g = jnp.where(hitp, old_g[j : j + 1, 0:1], new_g)
+                        new_m = jnp.where(hitp, old_m[j : j + 1, 0:1], new_m)
+                beamf_ref[:, 0:1] = new_l
+                beamf_ref[:, 1:2] = new_g
+                beamf_ref[:, 2:3] = new_m
+                _extend_all(lo_t, hi_t)
 
         # -------- expansion: vector columns + scalar child/alloc -------
         # Per-tip (8, 1) columns built once from SMEM scalars; all
@@ -292,20 +318,14 @@ def _exact_duplex_kernel(
             tl = jnp.where(n >= 0, lab_s[jnp.clip(n, 0, N - 1)], -1)
             tip_lbl.append(jnp.where(n >= 0, tl, -1))
 
-        def tips8_f(vals):
-            col = jnp.full((32, 1), NEG)
-            for k in range(K):
-                col = jnp.where(sub_e == k, vals[k], col)
-            return col
-
         def tips8_i(vals, fill=0):
             col = jnp.full((32, 1), fill, jnp.int32)
             for k in range(K):
                 col = jnp.where(sub_e == k, vals[k], col)
             return col
 
-        p1l8 = tips8_f([bm_p1l[k] for k in range(K)])
-        p1g8 = tips8_f([bm_p1g[k] for k in range(K)])
+        p1l8 = beamf_ref[:, 0:1]
+        p1g8 = beamf_ref[:, 1:2]
         p1tot8 = _ls_add(p1l8, p1g8)
         valid8 = tips8_i([bm_valid[k] for k in range(K)]) != 0
         node8 = tips8_i([bm_node[k] for k in range(K)], fill=-2)
@@ -339,27 +359,50 @@ def _exact_duplex_kernel(
         nn_gate_c = jnp.logical_not(isrep_c) | gap_pos_c
 
         # scalar sweep: child lookups + ordered allocation
-        # (reference add_node order; ops/beam.py _allocate_nodes_core)
-        pushed_i = pushed_c.astype(jnp.int32)
-        nn_gate_i = nn_gate_c.astype(jnp.int32)
+        # (reference add_node order; ops/beam.py _allocate_nodes_core).
+        # The plain path computes push/repeat flags from the SMEM copy of
+        # l1 — extracting them from the vector columns would cost ~20
+        # scalar-pipeline stalls per step; CRF (state-gathered rows) keeps
+        # the extracts.
+        if crf:
+            pushed_i = pushed_c.astype(jnp.int32)
         ovf = jnp.int32(0) == jnp.int32(1)  # False scalar
         for k in range(K):
             n = bm_node[k]
+            vld_k = bm_valid[k] != 0
+            gp_k = bm_gp[k] != 0
             for a in range(A):
                 idx = k * A + a
-                pushed = pushed_i[idx + 8, 0] != 0
+                if crf:
+                    pushed = pushed_i[idx + 8, 0] != 0
+                    gate = jnp.int32(1) != 0
+                else:
+                    plab_s = l1s_ref[0, 0, t * np.int32(A1P) + np.int32(a + 1)]
+                    pushed = vld_k & jnp.logical_not(plab_s < thr)
+                    if collapse:
+                        is_rep_s = tip_lbl[k] == a
+                        gate = jnp.logical_not(is_rep_s) | gp_k
+                    else:
+                        gate = jnp.int32(1) != 0
                 c = child_of(n, jnp.int32(a), n_nodes0)
-                needs_new = pushed & (c < 0) & (nn_gate_i[idx + 8, 0] != 0)
+                needs_new = pushed & (c < 0) & gate
                 nn = misc[0]
                 can = needs_new & (nn < N)
                 ovf = ovf | (needs_new & (nn >= N))
-
-                @pl.when(can)
-                def _alloc(n=n, a=a, nn=nn):
-                    child_s[(n + 1) * np.int32(A) + np.int32(a)] = nn
-                    par_s[nn] = n
-                    lab_s[nn] = jnp.int32(a)
-                    misc[0] = nn + 1
+                # branch-free allocation: non-allocating candidates write
+                # to the dump slots (row N / child row N+1) — a per-
+                # candidate @pl.when costs ~0.1-0.2 us of scalar-pipeline
+                # drain, 20x per step
+                ci = jnp.where(
+                    can,
+                    (n + 1) * np.int32(A) + np.int32(a),
+                    np.int32((N + 1) * A + a),
+                )
+                child_s[ci] = nn
+                nw = jnp.where(can, nn, np.int32(N))
+                par_s[nw] = n
+                lab_s[nw] = jnp.int32(a)
+                misc[0] = nn + can.astype(jnp.int32)
 
                 nid = jnp.where(c >= 0, c, jnp.where(can, nn, -1))
                 cand_id[idx] = nid
@@ -376,7 +419,7 @@ def _exact_duplex_kernel(
         push2_c = pushed_c & isrep_c & (cid_c >= 0)
 
         # ---------------- build candidate bands (lane scan) ------------
-        _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8)
+        _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8, zero_safe)
 
         # ---------------- merge (analytic) + select --------------------
         _merge_select(
@@ -385,98 +428,243 @@ def _exact_duplex_kernel(
         )
 
     # ---------------------------------------------------------- extension
-    def _extend_node(n, state, lo_t, hi_t):
-        """Port of ops/duplex.py _extend_bands for one node (in place)."""
-        off = boff_s[n]
-        ln = blen_s[n]
-        row_l, row_g = node_row(n)
+    def _extend_all(lo_t, hi_t):
+        """Lockstep port of ops/duplex.py _extend_bands for all beam slots.
 
-        do_disc = lo_t > off
-        shift = (lo_t - 1) - off
-        sh_l = pltpu.roll(row_l, -shift, 1)
-        sh_g = pltpu.roll(row_g, -shift, 1)
-        emptied = (ln - shift) <= 0
-        newL = jnp.where(emptied, 0, ln - shift)
-        newoff = jnp.where(emptied, lo_t, lo_t - 1)
-        off2 = jnp.where(do_disc, newoff, off)
-        L2 = jnp.where(do_disc, newL, ln)
-        row_l = jnp.where(do_disc, sh_l, row_l)
-        row_g = jnp.where(do_disc, sh_g, row_g)
+        All live nodes extend their bands together, one t2 cell per
+        iteration of a single while loop: a child's cell t2 reads its
+        parent's cell t2-1, which a live parent wrote on the previous
+        iteration (and a frozen parent's stale row already holds or
+        masks) — the same values as the reference's parents-first
+        sequential order, at ~K times less per-cell work.  The beam must
+        already be node-sorted (callers do)."""
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, WP), 1)
+
+        def col8_i(vals, fill=0):
+            col = jnp.full((8, 1), fill, jnp.int32)
+            for k in range(K):
+                col = jnp.where(sub_t8 == k, vals[k], col)
+            return col
+
+        def col8_f(vals):
+            col = jnp.full((8, 1), NEG)
+            for k in range(K):
+                col = jnp.where(sub_t8 == k, vals[k], col)
+            return col
+
+        # per-slot scalars + discarded rows stacked into (8, WP) blocks
+        ns, acts, offs, lns, shifts, discs = [], [], [], [], [], []
+        off2s, L2s = [], []
+        rows_l, rows_g = [], []
+        for sidx in range(K):
+            n = bm_node[sidx]
+            act = (bm_valid[sidx] != 0) & (n >= 0)
+            nc = jnp.clip(n, 0, N - 1)
+            off = boff_s[nc]
+            ln = blen_s[nc]
+            do_disc = act & (lo_t > off)
+            shift = (lo_t - 1) - off
+            rl, rg_ = node_row(nc)
+            sh_l = pltpu.roll(rl, -shift, 1)
+            sh_g = pltpu.roll(rg_, -shift, 1)
+            rows_l.append(jnp.where(do_disc, sh_l, rl))
+            rows_g.append(jnp.where(do_disc, sh_g, rg_))
+            emptied_s = (ln - shift) <= 0
+            off2_sc = jnp.where(
+                do_disc, jnp.where(emptied_s, lo_t, lo_t - 1), off
+            )
+            L2_sc = jnp.where(
+                do_disc, jnp.where(emptied_s, 0, ln - shift), ln
+            )
+            off2s.append(off2_sc)
+            L2s.append(L2_sc)
+            ns.append(n)
+            acts.append(act)
+            offs.append(off)
+            lns.append(ln)
+            shifts.append(shift)
+            discs.append(do_disc)
+
+        blk_l = jnp.full((8, WP), NEG)
+        blk_g = jnp.full((8, WP), NEG)
+        for sidx in range(K):
+            rsel = sub_t8 == sidx
+            blk_l = jnp.where(rsel, rows_l[sidx], blk_l)
+            blk_g = jnp.where(rsel, rows_g[sidx], blk_g)
+
+        act_col = col8_i([a.astype(jnp.int32) for a in acts]) != 0
+        disc_col = col8_i([d.astype(jnp.int32) for d in discs]) != 0
+        off2_col = col8_i(off2s)
+        L2_col = col8_i(L2s)
+
         # discard_until + update_max(lo, hi)  (duplex.rs:350-359)
-        t2s = off2 + lane_w
-        win = (lane_w < L2) & (t2s >= lo_t) & (t2s < hi_t)
-        tots = _ls_add(row_l, row_g)
+        t2s = off2_col + lane8
+        win = (lane8 < L2_col) & (t2s >= lo_t) & (t2s < hi_t)
+        tots = _ls_add(blk_l, blk_g)
         tots = jnp.where(win & jnp.logical_not(jnp.isnan(tots)), tots, NEG)
-        m2 = jnp.max(tots, axis=1, keepdims=True)  # (1,1)
-        mx = jnp.where(do_disc, m2, _c11(bmax_s[n]))
+        m2_col = jnp.max(tots, axis=1, keepdims=True)  # (8, 1)
+        bmax_col = col8_f([bmax_s[jnp.clip(ns[s], 0, N - 1)] for s in range(K)])
+        mx_col = jnp.where(disc_col, m2_col, bmax_col)
 
-        par = par_s[n]
-        lbl = lab_s[n]
-        par_ok = par >= 0
-        par_c = jnp.clip(par, 0, N - 1)
-        par_lbl = jnp.where(par_ok, lab_s[par_c], -1)
+        # parent metadata: live-parent match matrix + frozen rows aligned
+        # to each child's (off2 - 1) base so all reads share one lane mask
+        pars = [par_s[jnp.clip(ns[s], 0, N - 1)] for s in range(K)]
+        lbls = [lab_s[jnp.clip(ns[s], 0, N - 1)] for s in range(K)]
+        lbl_col = col8_i(lbls, fill=-9)
+        par_root = [acts[s] & (pars[s] < 0) for s in range(K)]
+        root_col = col8_i([r.astype(jnp.int32) for r in par_root]) != 0
         if crf:
-            prep = jnp.int32(0) == jnp.int32(1)
+            prep_col = jnp.zeros((8, 1), bool)
         else:
             # raw label equality, NOT gated on collapse (duplex.rs:510-511)
-            prep = par_lbl == lbl
-        poff = jnp.where(par_ok, boff_s[par_c], -1)
-        plen = jnp.where(par_ok, blen_s[par_c], np.int32(Rr))
-        prow_l, prow_g = node_row(par_c)
+            plbl = [
+                jnp.where(
+                    pars[s] >= 0,
+                    lab_s[jnp.clip(pars[s], 0, N - 1)],
+                    -1,
+                )
+                for s in range(K)
+            ]
+            prep_col = col8_i(plbl, fill=-1) == lbl_col
 
-        cur_end = off2 + L2
-        has_last = L2 > 0
-        ll0 = _lane_at(row_l, jnp.clip(L2 - 1, 0, WP - 1))
-        lg0 = _lane_at(row_g, jnp.clip(L2 - 1, 0, WP - 1))
+        live_m = []  # live_m[s][j]: slot s's parent is live slot j
+        any_live = []
+        for sidx in range(K):
+            row = []
+            anyl = jnp.int32(0) == jnp.int32(1)
+            for j in range(K):
+                m = (
+                    acts[sidx]
+                    & acts[j]
+                    & (pars[sidx] >= 0)
+                    & (pars[sidx] == ns[j])
+                )
+                row.append(m)
+                anyl = anyl | m
+            live_m.append(row)
+            any_live.append(anyl)
+        anylive_col = col8_i([a.astype(jnp.int32) for a in any_live]) != 0
+
+        # frozen-parent rows, lane x <-> t2 = (off2_s - 1) + x
+        fp_l = jnp.full((8, WP), NEG)
+        fp_g = jnp.full((8, WP), NEG)
+        for sidx in range(K):
+            par = pars[sidx]
+            pc = jnp.clip(par, 0, N - 1)
+            prl, prg = node_row(pc)
+            base_s = off2s[sidx] - 1
+            sh = base_s - boff_s[pc]
+            al_l = pltpu.roll(prl, -sh, 1)
+            al_g = pltpu.roll(prg, -sh, 1)
+            okm = (lane_w >= -sh) & (lane_w < (blen_s[pc] - sh))
+            al_l = jnp.where(okm, al_l, NEG)
+            al_g = jnp.where(okm, al_g, NEG)
+            # root parent: rg value at t2 = base_s + x is rg[base_s + x + 1]
+            rg_sh = pltpu.roll(
+                rgT_ref[0], np.int32(rgT_ref.shape[2]) - (base_s + 1), 1
+            )[:, :WP]
+            rg_sh = jnp.where((base_s + 1 + lane_w) < np.int32(Rr), rg_sh, NEG)
+            use = par_root[sidx]
+            al_g = jnp.where(use, rg_sh, al_g)
+            al_l = jnp.where(use, NEG, al_l)
+            rsel = sub_t8 == sidx
+            fp_l = jnp.where(rsel, al_l, fp_l)
+            fp_g = jnp.where(rsel, al_g, fp_g)
+
+        # last (lab, gap) at each slot's current end
+        endmask = lane8 == (L2_col - 1)
+        ll0 = jnp.sum(jnp.where(endmask, blk_l, 0.0), axis=1, keepdims=True)
+        lg0 = jnp.sum(jnp.where(endmask, blk_g, 0.0), axis=1, keepdims=True)
+        has_last = L2_col > 0
         last_lab = jnp.where(has_last, ll0, NEG)
         last_gap = jnp.where(has_last, lg0, NEG)
+
+        cur_end_col = off2_col + L2_col
+        start = jnp.int32(_I32_MAX)
+        for sidx in range(K):
+            ce = off2s[sidx] + L2s[sidx]
+            start = jnp.minimum(
+                start, jnp.where(acts[sidx], ce, _I32_MAX)
+            )
 
         def jcond(st):
             return st[0] < hi_t
 
         def jbody(st):
-            t2, row_l, row_g, last_lab, last_gap, mx = st
-            row2 = l2row(t2, state)
-            p0 = row2[:, 0:1]
-            p_lbl = lane_sel(row2, lbl)
-            gap_n = _ls_add(last_lab, last_gap) + p0
-            # parent band value at t2-1 (frozen parents read stale rows,
-            # live parents were extended in an earlier slot iteration)
-            pidx = t2 - 1 - poff
-            pok = (pidx >= 0) & (pidx < plen)
-            pidx_c = jnp.clip(pidx, 0, WP - 1)
-            pvl = jnp.where(
-                par_ok & pok, _lane_at(prow_l, pidx_c), NEG
-            )
-            rg_i = jnp.clip(t2, 0, Rr - 1)  # root: idx = (t2-1) + 1 = t2
-            rv = _c11(rg_ref[0, 0, rg_i])
-            rv = jnp.where(t2 < Rr, rv, NEG)
-            pvg = jnp.where(
-                par_ok,
-                jnp.where(pok, _lane_at(prow_g, pidx_c), NEG),
-                rv,
-            )
-            base = jnp.where(prep, pvg, _ls_add(pvl, pvg))
-            lab_n = p_lbl + _ls_add(last_lab, base)
-            widx = jnp.clip(t2 - off2, 0, WP - 1)
-            row_l = jnp.where(lane_w == widx, lab_n, row_l)
-            row_g = jnp.where(lane_w == widx, gap_n, row_g)
-            tot_n = _ls_add(lab_n, gap_n)
-            mx = _ls_max(mx, tot_n)
-            return (t2 + 1, row_l, row_g, lab_n, gap_n, mx)
+            t2, blk_l, blk_g, last_lab, last_gap, mx = st
+            act_cell = act_col & (t2 >= cur_end_col)
+            if crf:
+                p0 = jnp.full((8, 1), NEG)
+                plbl_v = jnp.full((8, 1), NEG)
+                for sidx in range(K):
+                    row2 = l2row(t2, jnp.clip(bm_state[sidx], 0, S - 1))
+                    rsel = sub_t8 == sidx
+                    p0 = jnp.where(rsel, row2[:, 0:1], p0)
+                    plbl_v = jnp.where(
+                        rsel, lane_sel(row2, lbls[sidx]), plbl_v
+                    )
+            else:
+                row2 = l2row(t2, 0)
+                p0 = row2[:, 0:1]
+                plbl_v = jnp.full((8, 1), NEG)
+                for a in range(A):
+                    plbl_v = jnp.where(
+                        lbl_col == a, row2[:, a + 1 : a + 2], plbl_v
+                    )
 
-        st = jax.lax.while_loop(
-            jcond, jbody, (cur_end, row_l, row_g, last_lab, last_gap, mx)
+            # parent band value at t2-1: one lane mask serves both the
+            # updated block (live parents) and the frozen rows
+            widx = t2 - off2_col  # lane of t2-1 in (off2-1)-based coords
+            cmask = lane8 == widx
+            ok_w = (widx >= 0) & (widx < WP)
+            fv_l = jnp.sum(jnp.where(cmask, fp_l, 0.0), axis=1, keepdims=True)
+            fv_g = jnp.sum(jnp.where(cmask, fp_g, 0.0), axis=1, keepdims=True)
+            fv_l = jnp.where(ok_w, fv_l, NEG)
+            fv_g = jnp.where(ok_w, fv_g, NEG)
+            # live parents: value at lane t2-1-off2_j of the UPDATED block
+            bmask = lane8 == (t2 - 1 - off2_col)
+            ok_b = (t2 - 1 - off2_col) >= 0
+            bv_l = jnp.sum(jnp.where(bmask, blk_l, 0.0), axis=1, keepdims=True)
+            bv_g = jnp.sum(jnp.where(bmask, blk_g, 0.0), axis=1, keepdims=True)
+            bv_l = jnp.where(ok_b, bv_l, NEG)
+            bv_g = jnp.where(ok_b, bv_g, NEG)
+            pv_l = fv_l
+            pv_g = fv_g
+            for sidx in range(K):
+                rsel = sub_t8 == sidx
+                for j in range(K):
+                    m = rsel & live_m[sidx][j]
+                    pv_l = jnp.where(m, bv_l[j : j + 1, 0:1], pv_l)
+                    pv_g = jnp.where(m, bv_g[j : j + 1, 0:1], pv_g)
+
+            base = jnp.where(prep_col, pv_g, _ls_add(pv_l, pv_g))
+            gap_n = _ls_add(last_lab, last_gap) + p0
+            lab_n = plbl_v + _ls_add(last_lab, base)
+            # write cell t2 at its own-row lane (t2 - off2); block rows
+            # are (off2)-based (the loaded band rows start at off2)
+            wmask = (lane8 == (t2 - off2_col)) & act_cell
+            blk_l = jnp.where(wmask, lab_n, blk_l)
+            blk_g = jnp.where(wmask, gap_n, blk_g)
+            tot_n = _ls_add(lab_n, gap_n)
+            mx = jnp.where(act_cell, _ls_max(mx, tot_n), mx)
+            last_lab = jnp.where(act_cell, lab_n, last_lab)
+            last_gap = jnp.where(act_cell, gap_n, last_gap)
+            return (t2 + 1, blk_l, blk_g, last_lab, last_gap, mx)
+
+        _, blk_l, blk_g, _, _, mx_col = jax.lax.while_loop(
+            jcond, jbody, (start, blk_l, blk_g, last_lab, last_gap, mx_col)
         )
-        _, row_l, row_g, _, _, mx = st
-        blab_ref[pl.ds(n, 1), :] = row_l
-        bgap_ref[pl.ds(n, 1), :] = row_g
-        boff_s[n] = off2
-        blen_s[n] = jnp.maximum(L2, hi_t - off2)
-        bmax_s[n] = mx[0, 0]
+
+        for sidx in range(K):
+            n = jnp.where(acts[sidx], jnp.clip(ns[sidx], 0, N - 1), N)
+            blab_ref[pl.ds(n, 1), :] = blk_l[sidx : sidx + 1, :]
+            bgap_ref[pl.ds(n, 1), :] = blk_g[sidx : sidx + 1, :]
+            boff_s[n] = off2s[sidx]
+            blen_s[n] = jnp.maximum(L2s[sidx], hi_t - off2s[sidx])
+            bmax_s[n] = mx_col[sidx : sidx + 1, 0:1][0, 0]
 
     # ---------------------------------------------------------- build
-    def _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8):
+    def _build_candidate_bands(t, lo_t, hi_t, wb, tiplbl8, zero_safe):
         """Bands for all K*A candidate children at once: a 7-level
         log-affine lane scan over the window cells (duplex.rs:212-249
         recurrence; scatter only the allocated ones)."""
@@ -550,56 +738,98 @@ def _exact_duplex_kernel(
             is_rep_c = jnp.zeros((CP, 1), bool)
         base = jnp.where(is_rep_c, pv_gap_c, pv_tot_c)
 
-        # affine scan state: M = [[m11, -inf], [m21, m22]], c = (cl, ct)
-        m11 = plc
-        m21 = plc
-        m22 = p0c
-        cl = plc + base
-        ct = cl
+        # Two scan strategies write (lab, gap) rows into the build scratch:
+        #
+        # FAST path (the common case — no true-zero probabilities in the
+        # window): factor the affine recurrence through prefix sums.  With
+        # P = prefix-sum(plc) and Q = prefix-sum(p0c),
+        #   lab = P + lsadd-scan(base - shift(P)),
+        #   tot = Q + lsadd-scan(lab - Q),
+        # which is two cheap additive scans + two single-logsumexp scans
+        # instead of the 4-logsumexp 2x2 matrix composition.  The
+        # factorization subtracts P/Q, so it breaks when plc/p0c contain
+        # -inf (P sticks at -inf and base - P fabricates +inf) — those
+        # steps take the SAFE path: the -inf-closed matrix-composition
+        # scan (never subtracts, -inf is absorbing).
+        window = lane_w < (hi_t - lo_t)
 
-        for lev in range(7):  # log2(128)
-            sft = 1 << lev
-            e_m11 = pltpu.roll(m11, sft, 1)
-            e_m21 = pltpu.roll(m21, sft, 1)
-            e_m22 = pltpu.roll(m22, sft, 1)
-            e_cl = pltpu.roll(cl, sft, 1)
-            e_ct = pltpu.roll(ct, sft, 1)
-            idm = lane_w < sft  # identity for the first 2^lev lanes
-            e_m11 = jnp.where(idm, 0.0, e_m11)
-            e_m21 = jnp.where(idm, NEG, e_m21)
-            e_m22 = jnp.where(idm, 0.0, e_m22)
-            e_cl = jnp.where(idm, NEG, e_cl)
-            e_ct = jnp.where(idm, NEG, e_ct)
-            n_m11 = m11 + e_m11
-            n_m21 = _ls_add(m21 + e_m11, m22 + e_m21)
-            n_m22 = m22 + e_m22
-            n_cl = _ls_add(m11 + e_cl, cl)
-            n_ct = _ls_add(_ls_add(m21 + e_cl, m22 + e_ct), ct)
-            m11, m21, m22, cl, ct = n_m11, n_m21, n_m22, n_cl, n_ct
+        def lsadd_scan(x):
+            """Inclusive logsumexp prefix scan over lanes."""
+            for lev in range(7):
+                sft = 1 << lev
+                e = pltpu.roll(x, sft, 1)
+                e = jnp.where(lane_w < sft, NEG, e)
+                x = _ls_add(x, e)
+            return x
 
-        lab_rows = cl  # (CP, WP): band label values, lane w <-> t2 = lo + w
-        gap_sh = pltpu.roll(ct, 1, 1)
-        gap_sh = jnp.where(lane_w == 0, NEG, gap_sh)
-        gap_rows = gap_sh + p0c
+        def add_scan(x):
+            """Inclusive additive prefix scan over lanes."""
+            for lev in range(7):
+                sft = 1 << lev
+                e = pltpu.roll(x, sft, 1)
+                e = jnp.where(lane_w < sft, 0.0, e)
+                x = x + e
+            return x
 
+        if not zero_safe:
+            plc_f = jnp.where(window, plc, 0.0)
+            p0c_f = jnp.where(window, p0c, 0.0)
+            P = add_scan(plc_f)
+            Pprev = pltpu.roll(P, 1, 1)
+            Pprev = jnp.where(lane_w == 0, 0.0, Pprev)
+            u = lsadd_scan(base - Pprev)
+            lab_rows = P + u
+            Q = add_scan(p0c_f)
+            v = lsadd_scan(lab_rows - Q)
+            tot = Q + v
+            gap_sh = pltpu.roll(tot, 1, 1)
+            gap_sh = jnp.where(lane_w == 0, NEG, gap_sh)
+            gap_rows = gap_sh + p0c_f
+        else:
+            # M = [[m11, -inf], [m21, m22]], c = (cl, ct)
+            m11 = plc
+            m21 = plc
+            m22 = p0c
+            cl = plc + base
+            ct = cl
+            for lev in range(7):  # log2(128)
+                sft = 1 << lev
+                e_m11 = pltpu.roll(m11, sft, 1)
+                e_m21 = pltpu.roll(m21, sft, 1)
+                e_m22 = pltpu.roll(m22, sft, 1)
+                e_cl = pltpu.roll(cl, sft, 1)
+                e_ct = pltpu.roll(ct, sft, 1)
+                idm = lane_w < sft  # identity for the first 2^lev lanes
+                e_m11 = jnp.where(idm, 0.0, e_m11)
+                e_m21 = jnp.where(idm, NEG, e_m21)
+                e_m22 = jnp.where(idm, 0.0, e_m22)
+                e_cl = jnp.where(idm, NEG, e_cl)
+                e_ct = jnp.where(idm, NEG, e_ct)
+                n_m11 = m11 + e_m11
+                n_m21 = _ls_add(m21 + e_m11, m22 + e_m21)
+                n_m22 = m22 + e_m22
+                n_cl = _ls_add(m11 + e_cl, cl)
+                n_ct = _ls_add(_ls_add(m21 + e_cl, m22 + e_ct), ct)
+                m11, m21, m22, cl, ct = n_m11, n_m21, n_m22, n_cl, n_ct
+            gap_sh = pltpu.roll(ct, 1, 1)
+            gap_sh = jnp.where(lane_w == 0, NEG, gap_sh)
+            lab_rows = cl
+            gap_rows = gap_sh + p0c
         tot_m = _ls_add(lab_rows, gap_rows)
-        jmask = lane_w < (hi_t - lo_t)
         tot_m = jnp.where(
-            jmask & jnp.logical_not(jnp.isnan(tot_m)), tot_m, NEG
+            window & jnp.logical_not(jnp.isnan(tot_m)), tot_m, NEG
         )
         bmax_col = jnp.max(tot_m, axis=1, keepdims=True)  # (CP, 1)
 
-        # scatter allocated candidates into the node tables
+        # scatter allocated candidates into the node tables (branch-free:
+        # non-allocated candidates land in dump row N)
         for idx in range(KA):
-
-            @pl.when(cand_new[idx] != 0)
-            def _scatter(idx=idx):
-                nid = cand_id[idx]
-                blab_ref[pl.ds(nid, 1), :] = lab_rows[idx : idx + 1, :]
-                bgap_ref[pl.ds(nid, 1), :] = gap_rows[idx : idx + 1, :]
-                boff_s[nid] = lo_t
-                blen_s[nid] = hi_t - lo_t
-                bmax_s[nid] = bmax_col[idx : idx + 1, 0:1][0, 0]
+            nid = jnp.where(cand_new[idx] != 0, cand_id[idx], np.int32(N))
+            blab_ref[pl.ds(nid, 1), :] = lab_rows[idx : idx + 1, :]
+            bgap_ref[pl.ds(nid, 1), :] = gap_rows[idx : idx + 1, :]
+            boff_s[nid] = lo_t
+            blen_s[nid] = hi_t - lo_t
+            bmax_s[nid] = bmax_col[idx : idx + 1, 0:1][0, 0]
 
     # ---------------------------------------------------------- merge/select
     def _merge_select(
@@ -647,15 +877,14 @@ def _exact_duplex_kernel(
 
         l8 = _ls_add(_ls_add(stay8, arr18), arr28)
         valid_e8 = push_b8 | (hit8 != 0)
-        p2m8 = jnp.full((32, 1), NEG)
+        p2m8 = beamf_ref[:, 2:3]  # root tips keep their carried p2m
         st8 = jnp.zeros((32, 1), jnp.int32)
         for j in range(K):
             n_j = bm_node[j]
-            p2m_j = jnp.where(
-                n_j >= 0, bmax_s[jnp.clip(n_j, 0, N - 1)], bm_p2m[j]
-            )
             row = sub_e == j
-            p2m8 = jnp.where(row, p2m_j, p2m8)
+            p2m8 = jnp.where(
+                row & (n_j >= 0), bmax_s[jnp.clip(n_j, 0, N - 1)], p2m8
+            )
             st8 = jnp.where(row, bm_state[j], st8)
 
         # fresh entries: pushes whose target is not a live tip
@@ -720,10 +949,19 @@ def _exact_duplex_kernel(
         nan_flag = (cnt >= 2) & any_nan
         empty_flag = cnt == 0
 
-        # top-K: (score desc, ties ascending node id) — duplex.rs:619-635
+        # top-K: (score desc, ties ascending node id) — duplex.rs:619-635.
+        # The new beam accumulates in vector columns; the scalar side gets
+        # ONE packed int extraction per slot (node|valid|gap_pos|state)
+        # instead of six.
+        nb_node = jnp.full((32, 1), -2, jnp.int32)
+        nb_state = jnp.zeros((32, 1), jnp.int32)
+        nb_valid = jnp.zeros((32, 1), jnp.int32)
+        nb_p1l = jnp.full((32, 1), NEG)
+        nb_p1g = jnp.full((32, 1), NEG)
+        nb_p2m = jnp.full((32, 1), NEG)
         for r in range(K):
             mx = jnp.max(col_key, axis=0, keepdims=True)  # (1,1)
-            slot_ok = _sbool(mx > NEG)
+            okv = mx > NEG
             at = col_key == mx
             sid = jnp.min(
                 jnp.where(at, col_id, _I32_MAX), axis=0, keepdims=True
@@ -733,20 +971,39 @@ def _exact_duplex_kernel(
             def pick_f(colv):
                 return jnp.sum(
                     jnp.where(chosen, colv, 0.0), axis=0, keepdims=True
-                )[0, 0]
+                )
 
             def pick_i(colv):
                 return jnp.sum(
                     jnp.where(chosen, colv, 0), axis=0, keepdims=True
-                )[0, 0]
+                )
 
-            bm_node[r] = jnp.where(slot_ok, pick_i(col_id), -2)
-            bm_state[r] = jnp.where(slot_ok, pick_i(col_st), 0)
-            bm_valid[r] = jnp.where(slot_ok, 1, 0)
-            bm_p1l[r] = jnp.where(slot_ok, pick_f(col_l), NEG)
-            bm_p1g[r] = jnp.where(slot_ok, pick_f(col_g), NEG)
-            bm_p2m[r] = jnp.where(slot_ok, pick_f(col_p2m), NEG)
+            rowr = sub_e == r
+            sel_ok = rowr & okv
+            nb_node = jnp.where(sel_ok, pick_i(col_id), nb_node)
+            nb_state = jnp.where(sel_ok, pick_i(col_st), nb_state)
+            nb_valid = jnp.where(sel_ok, 1, nb_valid)
+            nb_p1l = jnp.where(sel_ok, pick_f(col_l), nb_p1l)
+            nb_p1g = jnp.where(sel_ok, pick_f(col_g), nb_p1g)
+            nb_p2m = jnp.where(sel_ok, pick_f(col_p2m), nb_p2m)
             col_key = jnp.where(chosen, NEG, col_key)
+
+        beamf_ref[:, 0:1] = nb_p1l
+        beamf_ref[:, 1:2] = nb_p1g
+        beamf_ref[:, 2:3] = nb_p2m
+        gpbit = (nb_p1g > NEG).astype(jnp.int32)
+        packed = (
+            ((nb_node + 2) & np.int32(0x1FFF))
+            | (nb_valid << np.int32(13))
+            | (gpbit << np.int32(14))
+            | (nb_state << np.int32(15))
+        )
+        for k in range(K):
+            pk = packed[k : k + 1, 0:1][0, 0]
+            bm_node[k] = (pk & np.int32(0x1FFF)) - 2
+            bm_valid[k] = jax.lax.shift_right_logical(pk, np.int32(13)) & 1
+            bm_gp[k] = jax.lax.shift_right_logical(pk, np.int32(14)) & 1
+            bm_state[k] = jax.lax.shift_right_logical(pk, np.int32(15))
 
         step_err = jnp.where(
             ovf,
@@ -761,7 +1018,17 @@ def _exact_duplex_kernel(
             misc[1] > 0, misc[1], step_err
         ).astype(jnp.int32)
 
-    jax.lax.fori_loop(0, T1, step, 0, unroll=False)
+    @pl.when(misc[3] == 0)
+    def _run_fast():
+        jax.lax.fori_loop(
+            0, T1, functools.partial(step, zero_safe=False), 0, unroll=False
+        )
+
+    @pl.when(misc[3] != 0)
+    def _run_safe():
+        jax.lax.fori_loop(
+            0, T1, functools.partial(step, zero_safe=True), 0, unroll=False
+        )
 
     # ------------------------------------------------------- traceback
     labs0 = jnp.where(lane_out >= -1 - length, -1, lane_out)  # == -1 (anchored)
@@ -874,6 +1141,13 @@ def duplex_exact_pallas_batch(
     hi_in = jnp.asarray(hi, jnp.int32)
     thr = jnp.asarray(threshold_log, f32).reshape(1, 1)
 
+    # flat SMEM copy of l1 for the scalar sweep (plain path only; the
+    # CRF path state-gathers rows and keeps vector extracts)
+    L1S = 8 if crf else T1 * A1P
+    if crf:
+        l1s = jnp.zeros((B, 1, 8), jnp.float32)
+    else:
+        l1s = l1p.reshape(B, 1, T1 * A1P)
     kernel = functools.partial(
         _exact_duplex_kernel,
         K=K, A=A, S=S, T1=T1, T2=T2, Rr=Rr, N=N, T1L=T1L,
@@ -890,6 +1164,9 @@ def duplex_exact_pallas_batch(
             pl.BlockSpec((1, 1, T1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, Rr), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, L1S), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, T1 * S, A1P), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, T2 * S, A1P), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, S * A1P, T2p), lambda i: (i, 0, 0)),
@@ -898,20 +1175,22 @@ def duplex_exact_pallas_batch(
         out_specs=pl.BlockSpec((1, 1, T1L), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 1, T1L), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((N, WP), jnp.float32),
-            pltpu.VMEM((N, WP), jnp.float32),
-            pltpu.SMEM((N,), jnp.int32),
-            pltpu.SMEM((N,), jnp.int32),
-            pltpu.SMEM((N,), jnp.float32),
-            pltpu.SMEM((N,), jnp.int32),
-            pltpu.SMEM((N,), jnp.int32),
-            pltpu.SMEM(((N + 1) * A,), jnp.int32),
+            # +1: row/slot N is the write-only dump target of the
+            # branch-free predicated stores
+            pltpu.VMEM((N + 1, WP), jnp.float32),
+            pltpu.VMEM((N + 1, WP), jnp.float32),
+            pltpu.SMEM((N + 1,), jnp.int32),
+            pltpu.SMEM((N + 1,), jnp.int32),
+            pltpu.SMEM((N + 1,), jnp.float32),
+            pltpu.SMEM((N + 1,), jnp.int32),
+            pltpu.SMEM((N + 1,), jnp.int32),
+            pltpu.SMEM(((N + 2) * A,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
-            pltpu.SMEM((8,), jnp.float32),
-            pltpu.SMEM((8,), jnp.float32),
-            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.VMEM((32, 8), jnp.float32),
             pltpu.SMEM((32,), jnp.int32),
             pltpu.SMEM((32,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
@@ -923,6 +1202,7 @@ def duplex_exact_pallas_batch(
         hi_in.reshape(B, 1, T1),
         rg.reshape(B, 1, Rr),
         thr,
+        l1s,
         l1p.reshape(B, T1 * S, A1P),
         l2p.reshape(B, T2 * S, A1P),
         l2T.reshape(B, S * A1P, T2p),
