@@ -85,58 +85,65 @@ def _shift_down(x, k, fill):
     return jnp.concatenate([pad, x[:-k]])
 
 
-def _merge_select(key, lab, gap, state, pushed, K):
-    """Merge candidates with equal node ids, then select the top-K beam.
+def _merge_select(node, lab, gap, state, valid, K):
+    """Select the top-K beam from an already-merged candidate plane.
 
-    Returns (node, lab, gap, state, valid, nan_flag, empty_flag, top).
-    ``top`` is the total probability of the best entry (pre-normalization).
+    ``node`` must be duplicate-free among ``valid`` rows (the step
+    functions merge analytically: a node receives at most blank + stay +
+    one arrival per step, each landing in a distinct ProbPair field or —
+    for the two label-field contributions — summed commutatively, so no
+    sort-and-scan duplicate pass is needed; see the module docstring).
+
+    Selection is K rounds of (max total, tie -> min node id) — the same
+    result as the reference's post-merge sort (total desc, stable over
+    node-ascending input, src/search.rs:261-273) without a ``lax.sort``.
+    Returns (node, lab, gap, state, valid, nan_flag, empty_flag, top);
+    ``top`` is the best entry's total probability (pre-normalization).
     """
-    key_sort = jnp.where(pushed, key, _I32_MAX)
-    key_s, lab_s, gap_s, state_s, pushed_s = jax.lax.sort(
-        (key_sort, lab, gap, state, pushed), dimension=-1, is_stable=True, num_keys=1
-    )
-
-    # run-continuation masks (runs are at most length 3; see module docstring)
-    nk1, np1 = _shift_up(key_s, 1, _I32_MAX), _shift_up(pushed_s, 1, False)
-    nk2, np2 = _shift_up(key_s, 2, _I32_MAX), _shift_up(pushed_s, 2, False)
-    same1 = (key_s == nk1) & pushed_s & np1
-    same2 = same1 & (key_s == nk2) & np2
-    lab1 = jnp.where(same1, lab_s + _shift_up(lab_s, 1, jnp.float32(0)), lab_s)
-    gap1 = jnp.where(same1, gap_s + _shift_up(gap_s, 1, jnp.float32(0)), gap_s)
-    lab2 = jnp.where(same2, lab1 + _shift_up(lab_s, 2, jnp.float32(0)), lab1)
-    gap2 = jnp.where(same2, gap1 + _shift_up(gap_s, 2, jnp.float32(0)), gap1)
-
-    pk, pp = _shift_down(key_s, 1, _I32_MAX - 1), _shift_down(pushed_s, 1, False)
-    head = pushed_s & ~((key_s == pk) & pp)
-
-    total = lab2 + gap2
-    cnt = jnp.sum(head.astype(jnp.int32))
-    nan_flag = (cnt >= 2) & jnp.any(head & jnp.isnan(total))
+    total = lab + gap
+    cnt = jnp.sum(valid.astype(jnp.int32))
+    nan_flag = (cnt >= 2) & jnp.any(valid & jnp.isnan(total))
     empty_flag = cnt == 0
 
-    # lexicographic select: valid first, then total desc, then node id asc.
-    # `total + 0.0` canonicalizes -0.0 to +0.0 so XLA's total-order float
-    # comparator agrees with the reference's partial_cmp on signed zeros.
-    k1 = (~head).astype(jnp.int32)
-    k2 = -(total + jnp.float32(0.0))
-    _, _, node_f, lab_f, gap_f, state_f, head_f = jax.lax.sort(
-        (k1, k2, key_s, lab2, gap2, state_s, head),
-        dimension=-1,
-        is_stable=True,
-        num_keys=3,
+    # `total + 0.0` canonicalizes -0.0 to +0.0 so float comparisons agree
+    # with the reference's partial_cmp on signed zeros; NaN totals map to
+    # +inf so they sort first (the nan_flag error freezes the read anyway,
+    # matching the reference's IncomparableValues early return).
+    key = jnp.where(
+        valid,
+        jnp.where(jnp.isnan(total), jnp.float32(np.inf), total + jnp.float32(0.0)),
+        -jnp.float32(np.inf),
     )
 
-    top = lab_f[0] + gap_f[0]
-    return (
-        node_f[:K],
-        lab_f[:K],
-        gap_f[:K],
-        state_f[:K],
-        head_f[:K],
-        nan_flag,
-        empty_flag,
-        top,
+    sel = []
+    top = None
+    for _ in range(K):
+        mx = jnp.max(key)
+        ok = mx > -jnp.float32(np.inf)
+        at = key == mx
+        sid = jnp.min(jnp.where(at, node, _I32_MAX))
+        chosen = at & (node == sid)
+
+        def pick(arr, z):
+            return jnp.sum(jnp.where(chosen, arr, z))
+
+        if top is None:
+            top = pick(total, jnp.float32(0))
+        sel.append(
+            (
+                jnp.where(ok, sid, -2),
+                pick(lab, jnp.float32(0)),
+                pick(gap, jnp.float32(0)),
+                pick(state, 0),
+                ok,
+            )
+        )
+        key = jnp.where(chosen, -jnp.float32(np.inf), key)
+
+    node_f, lab_f, gap_f, state_f, ok_f = (
+        jnp.stack([s[i] for s in sel]) for i in range(5)
     )
+    return node_f, lab_f, gap_f, state_f, ok_f, nan_flag, empty_flag, top
 
 
 def _allocate_nodes_core(
@@ -252,40 +259,46 @@ def _beam_step(carry: BeamCarry, xs, *, A, K, N, collapse, length, threshold):
 
     lg = carry.lab + carry.gap
 
-    # slot 0: blank keeps the node, mass moves to gap_prob
-    key_b = carry.node
-    gap_b = lg * p0
+    # ---- analytic merge (reference push set, src/search.rs:178-260).
+    # Per step a node receives at most: blank from the tip sitting on it
+    # (gap field), stay from that same tip on a collapsed repeat (label
+    # field), and ONE nid-targeted mass — the arrival (non-repeat,
+    # lg*plab) or the fork of a repeat (gap*plab) — label field.  The two
+    # label-field contributions sum commutatively, so no sort is needed:
+    # nid-targeted masses that land on a node currently in the beam are
+    # routed into that tip's row; the rest stand alone (children are
+    # unique per (parent, label), so they are duplicate-free).
     push_b = carry.valid & (p0 > threshold)
+    gap_tip = jnp.where(push_b, lg * p0, jnp.float32(0))
 
-    # slot 1 per label: stay (collapsed repeat) or arrival (non-repeat)
-    key_1 = jnp.where(is_rep, carry.node[:, None], nid)
-    lab_1 = jnp.where(
-        is_rep, carry.lab[:, None] * plab[None, :], lg[:, None] * plab[None, :]
+    m_nid = jnp.where(is_rep, carry.gap[:, None], lg[:, None]) * plab[None, :]
+    push_nid = pushed_lab & (nid >= 0)  # fork and arrival both need a node
+
+    push_stay = pushed_lab & is_rep  # at most one label per tip (a == tip)
+    stay_sum = jnp.sum(
+        jnp.where(push_stay, carry.lab[:, None] * plab[None, :], 0.0), axis=1
     )
-    push_1 = pushed_lab & (is_rep | (nid >= 0))
 
-    # slot 2 per label: fork of a collapsed repeat (existing child, or fresh
-    # node when gap_prob > 0 — src/search.rs:212-227)
-    key_2 = nid
-    lab_2 = carry.gap[:, None] * plab[None, :]
-    push_2 = pushed_lab & is_rep & (nid >= 0)
+    tgt = jnp.where(push_nid, nid, -9)  # nid >= 0, so -9 never matches
+    eq = (tgt[None, :, :] == carry.node[:, None, None]) & carry.valid[
+        :, None, None
+    ]  # [K tips, K, A]
+    recv = jnp.sum(jnp.where(eq, m_nid[None, :, :], 0.0), axis=(1, 2))
+    recv_any = jnp.any(eq, axis=(1, 2))
+    matched = jnp.any(eq, axis=0)  # [K, A]
 
-    # interleave in reference push order: blank, then (stay, fork) per label
-    key_il = jnp.stack([key_1, key_2], axis=-1).reshape(K, 2 * A)
-    lab_il = jnp.stack([lab_1, lab_2], axis=-1).reshape(K, 2 * A)
-    push_il = jnp.stack([push_1, push_2], axis=-1).reshape(K, 2 * A)
+    lab_tip = stay_sum + recv
+    tip_valid = push_b | jnp.any(push_stay, axis=1) | recv_any
 
-    key = jnp.concatenate([key_b[:, None], key_il], axis=1).reshape(-1)
-    labv = jnp.concatenate(
-        [jnp.zeros((K, 1), jnp.float32), lab_il], axis=1
-    ).reshape(-1)
-    gapv = jnp.concatenate(
-        [gap_b[:, None], jnp.zeros((K, 2 * A), jnp.float32)], axis=1
-    ).reshape(-1)
-    pushed = jnp.concatenate([push_b[:, None], push_il], axis=1).reshape(-1)
-    statev = jnp.zeros_like(key)
+    node_all = jnp.concatenate([carry.node, nid.reshape(-1)])
+    lab_all = jnp.concatenate([lab_tip, m_nid.reshape(-1)])
+    gap_all = jnp.concatenate([gap_tip, jnp.zeros((K * A,), jnp.float32)])
+    valid_all = jnp.concatenate(
+        [tip_valid, (push_nid & ~matched).reshape(-1)]
+    )
+    state_all = jnp.zeros_like(node_all)
 
-    merged = _merge_select(key, labv, gapv, statev, pushed, K)
+    merged = _merge_select(node_all, lab_all, gap_all, state_all, valid_all, K)
     node_n, state_n, lab_n, gap_n, valid_n, err = _finish_step(
         carry, merged, overflow, active
     )

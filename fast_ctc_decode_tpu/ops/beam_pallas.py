@@ -251,6 +251,10 @@ def _beam_kernel(
         empty_flag = cnt == 0
 
         # ---- top-K selection: K rounds of (max, tie -> min id) ----
+        # Only lab/gap/h1/h2 need masked-reduction picks: the min-id pass
+        # already materializes the chosen id, and the position-coded id
+        # (t*K*A + k*A + a) carries the last label in its low bits (root
+        # id -1 -> -1).
         sel_rows = []  # per round: (valid, [lab, gap, id, h1, h2, lastlab])
         top = None
         key = c_key
@@ -268,13 +272,15 @@ def _beam_kernel(
                     jnp.where(chosen, arr, z), axis=0, keepdims=True
                 )
 
+            sel_id = jnp.where(slot_valid, sid, -2)
+            sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
             acc = [
                 pick(c_lab, 0.0),
                 pick(c_gap, 0.0),
-                pick(c_id, 0),
+                sel_id,
                 pick(c_h1, 0),
                 pick(c_h2, 0),
-                pick(c_ll, 0),
+                sel_ll,
             ]
             if top is None:
                 top = pick(c_tot, 0.0)  # pre-normalization top score
@@ -314,7 +320,7 @@ def _beam_kernel(
             )
         return 0
 
-    jax.lax.fori_loop(0, TB, step, 0)
+    jax.lax.fori_loop(0, TB, step, 0, unroll=TB if TB <= 8 else 1)
     fin_ref[:] = id_ref[0:1, :]
     err_out_ref[:] = er_ref[:]
 
@@ -622,6 +628,9 @@ def _crf_beam_kernel(
         nan_flag = (cnt >= 2) & (nanv != 0)
         empty_flag = cnt == 0
 
+        # id comes from the min-id pass and lastlab from the id's low bits
+        # (see the plain kernel); the CRF state stays a pick (a tip's id
+        # does not encode its slot)
         sel_rows = []
         top = None
         key = c_key
@@ -636,8 +645,11 @@ def _crf_beam_kernel(
                 return jnp.sum(jnp.where(chosen, arr, z), axis=0, keepdims=True)
 
             acc = [
-                pick(c_lab, 0.0), pick(c_gap, 0.0), pick(c_id, 0),
-                pick(c_h1, 0), pick(c_h2, 0), pick(c_ll, 0), pick(c_st, 0),
+                pick(c_lab, 0.0), pick(c_gap, 0.0),
+                jnp.where(slot_valid, sid, -2),
+                pick(c_h1, 0), pick(c_h2, 0),
+                jnp.where(sid < 0, -1, sid % np.int32(A)),
+                pick(c_st, 0),
             ]
             if top is None:
                 top = pick(c_tot, 0.0)
@@ -673,7 +685,7 @@ def _crf_beam_kernel(
             )
         return 0
 
-    jax.lax.fori_loop(0, TB, step, 0)
+    jax.lax.fori_loop(0, TB, step, 0, unroll=TB if TB <= 8 else 1)
     fin_ref[:] = id_ref[0:1, :]
     err_out_ref[:] = er_ref[:]
 

@@ -103,27 +103,37 @@ def _crf_beam_step(carry: BeamCarry, xs, *, A, S, K, N, length, threshold):
     lg = carry.lab + carry.gap
     lbl_idx = jnp.arange(A, dtype=jnp.int32)
 
-    # slot 0: blank — node and state kept (src/search.rs:75-82)
-    key_b = carry.node
-    gap_b = lg * p0
+    # ---- analytic merge (src/search.rs:62-120).  A node receives at most
+    # blank from the tip sitting on it (gap field) and ONE arrival from
+    # the unique tip on its parent (label field) — a node's CRF state is a
+    # deterministic function of its label path, so node id remains the
+    # merge key and the plane is duplicate-free without a sort.
     push_b = carry.valid & (p0 > threshold)
-    state_b = carry.state
+    gap_tip = jnp.where(push_b, lg * p0, jnp.float32(0))
 
-    # label slots: arrival to child, state advances (src/search.rs:84-99)
-    key_l = nid
-    lab_l = lg[:, None] * plab
-    push_l = pushed_lab & (nid >= 0)
+    m_arr = lg[:, None] * plab  # [K, A]
+    push_arr = pushed_lab & (nid >= 0)
     state_l = ((carry.state[:, None] * A) % S + lbl_idx[None, :]).astype(jnp.int32)
 
-    key = jnp.concatenate([key_b[:, None], key_l], axis=1).reshape(-1)
-    labv = jnp.concatenate([jnp.zeros((K, 1), jnp.float32), lab_l], axis=1).reshape(-1)
-    gapv = jnp.concatenate(
-        [gap_b[:, None], jnp.zeros((K, A), jnp.float32)], axis=1
-    ).reshape(-1)
-    pushed = jnp.concatenate([push_b[:, None], push_l], axis=1).reshape(-1)
-    statev = jnp.concatenate([state_b[:, None], state_l], axis=1).reshape(-1)
+    tgt = jnp.where(push_arr, nid, -9)
+    eq = (tgt[None, :, :] == carry.node[:, None, None]) & carry.valid[
+        :, None, None
+    ]  # [K tips, K, A]
+    recv = jnp.sum(jnp.where(eq, m_arr[None, :, :], 0.0), axis=(1, 2))
+    recv_any = jnp.any(eq, axis=(1, 2))
+    matched = jnp.any(eq, axis=0)
 
-    merged = _merge_select(key, labv, gapv, statev, pushed, K)
+    tip_valid = push_b | recv_any
+
+    node_all = jnp.concatenate([carry.node, nid.reshape(-1)])
+    lab_all = jnp.concatenate([recv, m_arr.reshape(-1)])
+    gap_all = jnp.concatenate([gap_tip, jnp.zeros((K * A,), jnp.float32)])
+    valid_all = jnp.concatenate(
+        [tip_valid, (push_arr & ~matched).reshape(-1)]
+    )
+    state_all = jnp.concatenate([carry.state, state_l.reshape(-1)])
+
+    merged = _merge_select(node_all, lab_all, gap_all, state_all, valid_all, K)
     node_n, state_n, lab_n, gap_n, valid_n, err = _finish_step(
         carry, merged, overflow, active
     )

@@ -912,7 +912,10 @@ def _prep_envelope_fast(envelope: np.ndarray, T2: int) -> EnvPrep:
     Wr = int(min(max(envelope[0, 1], 0), T2)) + 1 if T1 else 1
     rel = monotone and not static_window
     if rel:
-        W = int(max(hi - lo)) + 2
+        # floor at 1: an everywhere-invalid envelope (hi <= lo) must still
+        # produce legal buffer shapes — the DP flags INVALID_ENVELOPE at
+        # the first bad step (reference duplex.rs:485-488)
+        W = max(int(max(hi - lo)) + 2, 1)
         D = int(max(np.diff(lo).max(), 0)) if T1 > 1 else 0
     else:
         D = 0

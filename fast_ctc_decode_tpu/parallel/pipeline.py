@@ -216,19 +216,32 @@ class BatchViterbiDecoder:
 
 
 @functools.lru_cache(maxsize=64)
-def _decode_and_count_fn(mesh, beam_size, threshold, collapse):
+def _decode_and_count_fn(mesh, beam_size, threshold, collapse, engine="fast"):
     """Cached jitted shard_map — rebuilding the jit wrapper per call would
     recompile on every invocation (a 10x hit measured by
     tools/scaling_bench.py's overhead mode)."""
 
+    if engine == "pallas":
+        from ..ops import beam_pallas as beam_pallas_ops
+
     def shard_fn(p, l):
-        out = beam_fast_ops.beam_search_fast_batch(
-            p,
-            l,
-            jnp.float32(threshold),
-            beam_size=beam_size,
-            collapse_repeats=collapse,
-        )
+        if engine == "pallas":
+            out = beam_pallas_ops.beam_search_pallas_batch(
+                p,
+                l,
+                jnp.float32(threshold),
+                beam_size=beam_size,
+                collapse_repeats=collapse,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            out = beam_fast_ops.beam_search_fast_batch(
+                p,
+                l,
+                jnp.float32(threshold),
+                beam_size=beam_size,
+                collapse_repeats=collapse,
+            )
         ok = jnp.sum((out["err"] == errors.OK).astype(jnp.int32))
         bad = jnp.sum((out["err"] != errors.OK).astype(jnp.int32))
         totals = jax.lax.psum(jnp.stack([ok, bad]), DATA_AXIS)
@@ -249,15 +262,17 @@ def _decode_and_count_fn(mesh, beam_size, threshold, collapse):
 
 
 def decode_and_count(
-    mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes=None
+    mesh, probs, lengths, *, beam_size, threshold, collapse, max_nodes=None,
+    engine="fast",
 ):
     """shard_map decode with an explicit psum over the data axis: every shard
     decodes its reads and all shards agree on the global (decoded, errored)
-    counters — the cross-host merge the reference never had.  Uses the fast
-    engine (``max_nodes`` is accepted for API compatibility and ignored)."""
+    counters — the cross-host merge the reference never had.  ``engine`` is
+    "fast" or "pallas" (``max_nodes`` is accepted for API compatibility and
+    ignored)."""
     del max_nodes
     fn = _decode_and_count_fn(
-        mesh, int(beam_size), float(threshold), bool(collapse)
+        mesh, int(beam_size), float(threshold), bool(collapse), str(engine)
     )
     return fn(probs, lengths)
 

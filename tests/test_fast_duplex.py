@@ -125,6 +125,25 @@ class TestFastDuplexBanded:
         with pytest.raises(RuntimeError, match="Invalid envelope values"):
             beam_search_duplex(p1, p2, "NAB", envelope=env, engine="fast")
 
+    def test_degenerate_envelope_every_step_invalid(self):
+        """An envelope with hi <= lo at EVERY step (so the global max width
+        is non-positive) must raise the reference error, not crash the
+        host-side buffer sizing with a negative shape."""
+        p1 = random_data(4, 3, 7)
+        p2 = random_data(4, 3, 8)
+        for env in (
+            np.array([[5, 2]] * 4, np.int64),  # hi < lo, constant
+            np.array([[0, 0]] * 4, np.int64),  # hi == lo == 0
+            np.array([[2, 2]] * 4, np.int64),  # hi == lo > 0
+        ):
+            for eng in ("fast", "exact", None):
+                with pytest.raises(
+                    RuntimeError, match="Invalid envelope values"
+                ):
+                    beam_search_duplex(
+                        p1, p2, "NAB", envelope=env, engine=eng
+                    )
+
 
 class TestFastDuplexBatch:
     def test_batch_matches_single(self):
