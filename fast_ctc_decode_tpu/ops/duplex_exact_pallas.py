@@ -248,9 +248,13 @@ def _exact_duplex_kernel(
         in_range = t < length
         env_bad = (lo_t >= hi_t) | (lo_t > last_upper)
 
-        @pl.when(alive & in_range & env_bad)
-        def _env_err():
-            misc[1] = jnp.int32(errors.INVALID_ENVELOPE)
+        # predicated error store instead of a @pl.when region — each
+        # control-flow region costs ~0.4 us of pipeline drain per step
+        misc[1] = jnp.where(
+            alive & in_range & env_bad,
+            jnp.int32(errors.INVALID_ENVELOPE),
+            err,
+        ).astype(jnp.int32)
 
         @pl.when(alive & in_range & jnp.logical_not(env_bad))
         def _active_step():
@@ -264,40 +268,64 @@ def _exact_duplex_kernel(
 
         # ---------------- extension (parents before children) ----------
         if needs_ext:
-
-            @pl.when(hi_t > last_upper)
-            def _extend():
-                # stable node-sort of the beam, invalid slots last
-                # (reference sorts in place before extending, duplex.rs:493)
-                for k in range(K):
-                    perm[k] = jnp.int32(k)
+            # PREDICATED, not a @pl.when: on moving-window envelopes the
+            # upper bound grows almost every step, so the region's
+            # pipeline-drain cost is paid for nothing; when not growing
+            # the rank collapses to the identity and _extend_all's cell
+            # loop runs zero iterations with all stores routed to the
+            # dump row.
+            do_ext = hi_t > last_upper
+            # stable node-sort of the beam via ranks, invalid slots last
+            # (reference sorts in place before extending, duplex.rs:493;
+            # node ids are unique among valid slots, ties — the invalid
+            # I32_MAX keys — break by slot index, so the rank is stable)
+            keys = [
+                jnp.where(bm_valid[k] != 0, bm_node[k], _I32_MAX)
+                for k in range(K)
+            ]
+            ranks = []
+            for i in range(K):
+                r = jnp.int32(0)
+                for j in range(K):
+                    if j == i:
+                        continue
+                    # stability statically: earlier slots win equal keys
+                    lt = keys[j] <= keys[i] if j < i else keys[j] < keys[i]
+                    r = r + jnp.where(lt, 1, 0)
+                ranks.append(jnp.where(do_ext, r, jnp.int32(i)))
+            for r in range(K):
+                p = jnp.int32(0)
                 for i in range(K):
-                    for j in range(K - 1 - i):
-                        nj = bm_node[j]
-                        nj1 = bm_node[j + 1]
-                        kj = jnp.where(bm_valid[j] != 0, nj, _I32_MAX)
-                        kj1 = jnp.where(bm_valid[j + 1] != 0, nj1, _I32_MAX)
-                        swap = kj > kj1
-                        for arr in (bm_node, bm_state, bm_valid, bm_gp, perm):
-                            x, y = arr[j], arr[j + 1]
-                            arr[j] = jnp.where(swap, y, x)
-                            arr[j + 1] = jnp.where(swap, x, y)
-                # apply the same permutation to the vector float state
-                old_l = beamf_ref[:, 0:1]
-                old_g = beamf_ref[:, 1:2]
-                old_m = beamf_ref[:, 2:3]
-                new_l, new_g, new_m = old_l, old_g, old_m
+                    p = p + jnp.where(ranks[i] == r, jnp.int32(i), 0)
+                perm[r] = p
+            olds = [
+                [bm_node[k] for k in range(K)],
+                [bm_state[k] for k in range(K)],
+                [bm_valid[k] for k in range(K)],
+                [bm_gp[k] for k in range(K)],
+            ]
+            for arr, old in zip((bm_node, bm_state, bm_valid, bm_gp), olds):
                 for r in range(K):
-                    rowr = sub_e == r
-                    for j in range(K):
-                        hitp = rowr & (perm[r] == j)
-                        new_l = jnp.where(hitp, old_l[j : j + 1, 0:1], new_l)
-                        new_g = jnp.where(hitp, old_g[j : j + 1, 0:1], new_g)
-                        new_m = jnp.where(hitp, old_m[j : j + 1, 0:1], new_m)
-                beamf_ref[:, 0:1] = new_l
-                beamf_ref[:, 1:2] = new_g
-                beamf_ref[:, 2:3] = new_m
-                _extend_all(lo_t, hi_t)
+                    v = jnp.int32(0)
+                    for i in range(K):
+                        v = v + jnp.where(ranks[i] == r, old[i], 0)
+                    arr[r] = v
+            # apply the same permutation to the vector float state
+            old_l = beamf_ref[:, 0:1]
+            old_g = beamf_ref[:, 1:2]
+            old_m = beamf_ref[:, 2:3]
+            new_l, new_g, new_m = old_l, old_g, old_m
+            for r in range(K):
+                rowr = sub_e == r
+                for j in range(K):
+                    hitp = rowr & (perm[r] == j)
+                    new_l = jnp.where(hitp, old_l[j : j + 1, 0:1], new_l)
+                    new_g = jnp.where(hitp, old_g[j : j + 1, 0:1], new_g)
+                    new_m = jnp.where(hitp, old_m[j : j + 1, 0:1], new_m)
+            beamf_ref[:, 0:1] = new_l
+            beamf_ref[:, 1:2] = new_g
+            beamf_ref[:, 2:3] = new_m
+            _extend_all(lo_t, hi_t, do_ext)
 
         # -------- expansion: vector columns + scalar child/alloc -------
         # Per-tip (8, 1) columns built once from SMEM scalars; all
@@ -428,7 +456,7 @@ def _exact_duplex_kernel(
         )
 
     # ---------------------------------------------------------- extension
-    def _extend_all(lo_t, hi_t):
+    def _extend_all(lo_t, hi_t, do_ext):
         """Lockstep port of ops/duplex.py _extend_bands for all beam slots.
 
         All live nodes extend their bands together, one t2 cell per
@@ -437,7 +465,9 @@ def _exact_duplex_kernel(
         iteration (and a frozen parent's stale row already holds or
         masks) — the same values as the reference's parents-first
         sequential order, at ~K times less per-cell work.  The beam must
-        already be node-sorted (callers do)."""
+        already be node-sorted (callers do).  ``do_ext`` False turns the
+        whole call into a no-op (zero loop trips, dump-row stores) so the
+        caller can run it predicated instead of under a @pl.when."""
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, WP), 1)
 
         def col8_i(vals, fill=0):
@@ -458,7 +488,7 @@ def _exact_duplex_kernel(
         rows_l, rows_g = [], []
         for sidx in range(K):
             n = bm_node[sidx]
-            act = (bm_valid[sidx] != 0) & (n >= 0)
+            act = (bm_valid[sidx] != 0) & (n >= 0) & do_ext
             nc = jnp.clip(n, 0, N - 1)
             off = boff_s[nc]
             ln = blen_s[nc]
@@ -1021,7 +1051,8 @@ def _exact_duplex_kernel(
     @pl.when(misc[3] == 0)
     def _run_fast():
         jax.lax.fori_loop(
-            0, T1, functools.partial(step, zero_safe=False), 0, unroll=False
+            0, T1, functools.partial(step, zero_safe=False), 0,
+            unroll=2 if T1 % 2 == 0 else False,
         )
 
     @pl.when(misc[3] != 0)
