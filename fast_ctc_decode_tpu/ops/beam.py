@@ -75,16 +75,6 @@ class BeamCarry(NamedTuple):
     err: jnp.ndarray  # scalar i32, first error code (0 = OK)
 
 
-def _shift_up(x, k, fill):
-    pad = jnp.full((k,), fill, x.dtype)
-    return jnp.concatenate([x[k:], pad])
-
-
-def _shift_down(x, k, fill):
-    pad = jnp.full((k,), fill, x.dtype)
-    return jnp.concatenate([pad, x[:-k]])
-
-
 def _merge_select(node, lab, gap, state, valid, K):
     """Select the top-K beam from an already-merged candidate plane.
 

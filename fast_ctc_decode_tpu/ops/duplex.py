@@ -50,9 +50,10 @@ import jax
 import jax.numpy as jnp
 
 from .. import errors
-from .beam import _allocate_nodes_core, _shift_down, _shift_up, _traceback
+from .beam import _allocate_nodes_core, _traceback
 
 NEG = jnp.float32(-jnp.inf)
+POS_INF = jnp.float32(jnp.inf)
 _I32_MAX = np.iinfo(np.int32).max
 
 # the reference-ordering log-space primitives are shared with the fast
@@ -299,59 +300,75 @@ def _parent_get_scalar(blab, bgap, boff, blen, root_gap, node, t2, N, W, Wr):
     return lab, gap
 
 
-def _duplex_merge_select(key, p1l, p1g, p2m, state, pushed, bmax, K, N):
-    """Duplex merge: dedup by node with logsumexp ``+=`` on the prob_1 pair,
-    refresh prob_2_max from tree data, NaN check, sort by total score
-    (desc, ties ascending node id), truncate (duplex.rs:595-635)."""
-    key_sort = jnp.where(pushed, key, _I32_MAX)
-    key_s, p1l_s, p1g_s, p2m_s, state_s, pushed_s = jax.lax.sort(
-        (key_sort, p1l, p1g, p2m, state, pushed),
-        dimension=-1,
-        is_stable=True,
-        num_keys=1,
-    )
+# valid candidates with a true -inf log score must stay selectable (the
+# reference keeps them in the beam; only the *absence* of a push empties
+# a slot), so selection maps them to a finite key strictly below any real
+# log score (|log p| is bounded by ~T * 103 in f32) and keeps -inf as the
+# invalid fill.
+_NEG_VALID = np.float32(-3.0e38)
 
-    nk1, np1 = _shift_up(key_s, 1, _I32_MAX), _shift_up(pushed_s, 1, False)
-    nk2, np2 = _shift_up(key_s, 2, _I32_MAX), _shift_up(pushed_s, 2, False)
-    same1 = (key_s == nk1) & pushed_s & np1
-    same2 = same1 & (key_s == nk2) & np2
-    l1 = jnp.where(same1, ls_add(p1l_s, _shift_up(p1l_s, 1, NEG)), p1l_s)
-    g1 = jnp.where(same1, ls_add(p1g_s, _shift_up(p1g_s, 1, NEG)), p1g_s)
-    l2m = jnp.where(same2, ls_add(l1, _shift_up(p1l_s, 2, NEG)), l1)
-    g2m = jnp.where(same2, ls_add(g1, _shift_up(p1g_s, 2, NEG)), g1)
 
-    pk, pp = _shift_down(key_s, 1, _I32_MAX - 1), _shift_down(pushed_s, 1, False)
-    head = pushed_s & ~((key_s == pk) & pp)
+def _duplex_merge_select(node, lv, gv, p2m, state, valid, bmax, K, N):
+    """Top-K selection over an already-merged duplex candidate plane.
 
-    # refresh prob_2_max from tree data for real nodes (duplex.rs:613-618)
-    is_node = key_s >= 0
+    The step functions merge analytically — a node receives at most blank
+    (gap field) + stay + one arrival (label field, ls_add is commutative
+    and NEG is its exact identity) — so ``node`` is duplicate-free among
+    ``valid`` rows and the reference's sort-based dedup (duplex.rs:595-618)
+    is unnecessary.  prob_2_max refreshes from tree data for real nodes
+    (duplex.rs:613-618); selection is K rounds of (max score, tie -> min
+    node id), the same order as the reference's sort (duplex.rs:619-635).
+    """
+    is_node = node >= 0
     p2m_r = jnp.where(
-        is_node, jnp.take(bmax, jnp.clip(key_s, 0, N - 1)), p2m_s
+        valid & is_node, jnp.take(bmax, jnp.clip(node, 0, N - 1)), p2m
     )
+    score = ls_add(lv, gv) + p2m_r
 
-    score = ls_add(l2m, g2m) + p2m_r
-    cnt = jnp.sum(head.astype(jnp.int32))
-    nan_flag = (cnt >= 2) & jnp.any(head & jnp.isnan(score))
+    cnt = jnp.sum(valid.astype(jnp.int32))
+    nan_flag = (cnt >= 2) & jnp.any(valid & jnp.isnan(score))
     empty_flag = cnt == 0
 
-    k1 = (~head).astype(jnp.int32)
-    k2 = -(score + jnp.float32(0.0))
-    _, _, node_f, l_f, g_f, p2_f, st_f, head_f = jax.lax.sort(
-        (k1, k2, key_s, l2m, g2m, p2m_r, state_s, head),
-        dimension=-1,
-        is_stable=True,
-        num_keys=3,
+    key = jnp.where(
+        valid,
+        jnp.where(
+            jnp.isnan(score),
+            POS_INF,
+            jnp.where(score == NEG, _NEG_VALID, score + jnp.float32(0.0)),
+        ),
+        NEG,
     )
-    return (
-        node_f[:K],
-        l_f[:K],
-        g_f[:K],
-        p2_f[:K],
-        st_f[:K],
-        head_f[:K],
-        nan_flag,
-        empty_flag,
+
+    sel = []
+    for _ in range(K):
+        mx = jnp.max(key)
+        ok = mx > NEG
+        at = key == mx
+        sid = jnp.min(jnp.where(at, node, _I32_MAX))
+        chosen = at & (node == sid)
+
+        def pick_f(arr):
+            return jnp.max(jnp.where(chosen, arr, NEG))
+
+        def pick_i(arr):
+            return jnp.sum(jnp.where(chosen, arr, 0))
+
+        sel.append(
+            (
+                jnp.where(ok, sid, -2),
+                pick_f(lv),
+                pick_f(gv),
+                pick_f(p2m_r),
+                pick_i(state),
+                ok,
+            )
+        )
+        key = jnp.where(chosen, NEG, key)
+
+    node_f, l_f, g_f, p2_f, st_f, ok_f = (
+        jnp.stack([s[i] for s in sel]) for i in range(6)
     )
+    return node_f, l_f, g_f, p2_f, st_f, ok_f, nan_flag, empty_flag
 
 
 def _alloc_nodes_duplex(carry, needs_new, N, A, K, active):
@@ -488,59 +505,66 @@ def _make_duplex_step(
 
         p1tot = ls_add(carry.p1l, carry.p1g)
 
-        # slot 0: blank
-        key_b = carry.node
-        g_b = p1tot + p0
+        # ---- analytic merge (duplex.rs:530-618): a node receives at most
+        # blank from the tip on it (gap field), stay from that tip on a
+        # collapsed repeat, and ONE nid-targeted mass (arrival or fork) —
+        # ls_add is commutative with NEG as exact identity, so the two
+        # label-field contributions fold in any order.  nid-targeted
+        # masses landing on live tips route into the tip rows; the rest
+        # (children unique per (parent, label)) are duplicate-free.
         push_b = carry.valid & (p0 > threshold_log)
-        state_b = carry.state
+        g_tip = jnp.where(push_b, p1tot + p0, NEG)
 
         if crf:
             # arrivals only (duplex.rs:754-779)
-            key_l = nid
-            l_l = p1tot[:, None] + plab
-            push_l = pushed_lab & (nid >= 0)
+            m_nid = p1tot[:, None] + plab
+            push_nid = pushed_lab & (nid >= 0)
+            stay_l = jnp.full((K,), NEG)
+            stay_any = jnp.zeros((K,), bool)
             state_l = ((carry.state[:, None] * A) % S + lbl_idx[None, :]).astype(
                 jnp.int32
             )
-            key = jnp.concatenate([key_b[:, None], key_l], axis=1).reshape(-1)
-            lv = jnp.concatenate(
-                [jnp.full((K, 1), NEG), l_l], axis=1
-            ).reshape(-1)
-            gv = jnp.concatenate(
-                [g_b[:, None], jnp.full((K, A), NEG)], axis=1
-            ).reshape(-1)
-            pushed = jnp.concatenate([push_b[:, None], push_l], axis=1).reshape(-1)
-            statev = jnp.concatenate(
-                [state_b[:, None], state_l], axis=1
-            ).reshape(-1)
+            state_f = state_l.reshape(-1)
         else:
             # stay/fork interleave like 1D (duplex.rs:536-592)
-            key_1 = jnp.where(is_rep, carry.node[:, None], nid)
-            l_1 = jnp.where(
-                is_rep, carry.p1l[:, None] + plab, p1tot[:, None] + plab
+            m_nid = jnp.where(
+                is_rep, carry.p1g[:, None] + plab, p1tot[:, None] + plab
             )
-            push_1 = pushed_lab & (is_rep | (nid >= 0))
-            key_2 = nid
-            l_2 = carry.p1g[:, None] + plab
-            push_2 = pushed_lab & is_rep & (nid >= 0)
+            push_nid = pushed_lab & (nid >= 0)
+            push_stay = pushed_lab & is_rep
+            stay_l = jnp.max(
+                jnp.where(push_stay, carry.p1l[:, None] + plab, NEG), axis=1
+            )  # at most one label per tip (a == tip label)
+            stay_any = jnp.any(push_stay, axis=1)
+            state_f = jnp.zeros((K * A,), jnp.int32)
 
-            key_il = jnp.stack([key_1, key_2], axis=-1).reshape(K, 2 * A)
-            l_il = jnp.stack([l_1, l_2], axis=-1).reshape(K, 2 * A)
-            push_il = jnp.stack([push_1, push_2], axis=-1).reshape(K, 2 * A)
-            key = jnp.concatenate([key_b[:, None], key_il], axis=1).reshape(-1)
-            lv = jnp.concatenate([jnp.full((K, 1), NEG), l_il], axis=1).reshape(-1)
-            gv = jnp.concatenate(
-                [g_b[:, None], jnp.full((K, 2 * A), NEG)], axis=1
-            ).reshape(-1)
-            pushed = jnp.concatenate([push_b[:, None], push_il], axis=1).reshape(-1)
-            statev = jnp.zeros_like(key)
+        tgt = jnp.where(push_nid, nid, -9)
+        eq = (tgt[None, :, :] == carry.node[:, None, None]) & carry.valid[
+            :, None, None
+        ]  # [K tips, K, A]
+        recv = jnp.max(
+            jnp.where(eq, m_nid[None, :, :], NEG), axis=(1, 2)
+        )  # one arrival max per node
+        recv_any = jnp.any(eq, axis=(1, 2))
+        matched = jnp.any(eq, axis=0)
 
-        p2v = jnp.broadcast_to(
-            carry.p2m[:, None], (K, key.shape[0] // K)
-        ).reshape(-1)
+        l_tip = ls_add(stay_l, recv)
+        tip_valid = push_b | stay_any | recv_any
+
+        node_all = jnp.concatenate([carry.node, nid.reshape(-1)])
+        l_all = jnp.concatenate([l_tip, m_nid.reshape(-1)])
+        g_all = jnp.concatenate([g_tip, jnp.full((K * A,), NEG)])
+        p2_all = jnp.concatenate([carry.p2m, jnp.full((K * A,), NEG)])
+        valid_all = jnp.concatenate(
+            [tip_valid, (push_nid & ~matched).reshape(-1)]
+        )
+        state_all = jnp.concatenate([carry.state, state_f])
 
         node_n, l_n, g_n, p2_n, st_n, valid_n, nan_flag, empty_flag = (
-            _duplex_merge_select(key, lv, gv, p2v, statev, pushed, bmax, K, N)
+            _duplex_merge_select(
+                node_all, l_all, g_all, p2_all, state_all, valid_all, bmax,
+                K, N,
+            )
         )
 
         step_err = jnp.where(
