@@ -37,7 +37,9 @@ aborts the batch).
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, Tuple
+import threading
+import time
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -158,6 +160,193 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
     raise ValueError(f"unknown method {method!r}")
 
 
+class _MicroItem:
+    __slots__ = ("key", "req", "post", "T", "event", "result", "error")
+
+    def __init__(self, key, req, post, T):
+        self.key = key
+        self.req = req
+        self.post = post
+        self.T = T
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-read requests into one device batch.
+
+    The reference binding decodes one read per call (src/lib.rs:63-140);
+    on a TPU that wastes the chip — a single T=1000 read uses a fraction
+    of one core.  The micro-batcher holds each single-read (2-d shape)
+    request for at most ``max_wait_ms``, stacks every compatible pending
+    request (same method/alphabet/params and T bucket) into one [B, Tb, A]
+    batch through the cached mesh decoders, then fans results back out.
+    Per-read status codes keep one bad read from failing its batch-mates;
+    malformed requests are rejected at submit time, before batching.
+
+    Trade-off (opt-in, ``serve_http(..., microbatch=True)``): batched beam
+    decodes run the throughput engines, whose ``path`` entries for
+    pruned-and-re-derived prefixes may differ from the single-call exact
+    engine (sequences are identical — see BatchBeamDecoder).
+    """
+
+    def __init__(self, max_batch: int = 256, max_wait_ms: float = 3.0):
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._cv = threading.Condition()
+        self._pending: List[_MicroItem] = []
+        self._closed = False
+        self.batches = 0  # device batches run (observability / tests)
+        self.requests = 0
+        self._thread = threading.Thread(
+            target=self._worker, name="microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- request -> group key (validates eagerly so a bad request fails
+    #    alone with the API's own messages, never poisoning a batch)
+    def _key_for(self, req: Dict[str, Any], post: np.ndarray):
+        from .parallel import pipeline
+
+        method = req.get("method", "beam_search")
+        alphabet = tuple(api.normalize_alphabet(req["alphabet"]))
+        if len(alphabet) != post.shape[1]:
+            raise ValueError(
+                f"alphabet size {len(alphabet)} does not match probability "
+                f"matrix inner dimension {post.shape[1]}"
+            )
+        T = int(post.shape[0])
+        if T == 0:
+            raise ValueError("network_output must not be empty")
+        Tb = pipeline._bucket_edge_for(T)
+        if method == "beam_search":
+            beam_size = int(req.get("beam_size", 5))
+            thr = float(req.get("beam_cut_threshold", 0.0))
+            api._check_beam_args(list(alphabet), beam_size, thr)
+            return (
+                "beam", alphabet, Tb, beam_size, thr,
+                bool(req.get("collapse_repeats", True)),
+            )
+        if method == "viterbi_search":
+            return (
+                "viterbi", alphabet, Tb,
+                bool(req.get("collapse_repeats", True)),
+                float(req.get("qscale", 1.0)),
+                float(req.get("qbias", 0.0)),
+                bool(req.get("qstring", False)),
+            )
+        raise ValueError(f"unknown method {method!r}")
+
+    def submit(self, req: Dict[str, Any], post: np.ndarray) -> Dict[str, Any]:
+        """Block until this request's batch is decoded; returns the
+        single-read response dict or re-raises its per-read failure."""
+        key = self._key_for(req, post)
+        item = _MicroItem(key, req, post, int(post.shape[0]))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("micro-batcher is closed")
+            self._pending.append(item)
+            self.requests += 1
+            self._cv.notify_all()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        assert item.result is not None
+        return item.result
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join()
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = time.monotonic() + self.max_wait
+                while len(self._pending) < self.max_batch and not self._closed:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                items, self._pending = self._pending, []
+            groups: Dict[Tuple, List[_MicroItem]] = {}
+            for it in items:
+                groups.setdefault(it.key, []).append(it)
+            for key, group in groups.items():
+                try:
+                    self._run_group(key, group)
+                except BaseException as e:  # fan the fault out, keep serving
+                    for it in group:
+                        it.error = e
+                        it.event.set()
+
+    def _run_group(self, key: Tuple, group: List[_MicroItem]):
+        from .parallel import pipeline
+        from .parallel.mesh import make_data_mesh
+
+        Tb = key[2]
+        A1 = len(key[1])
+        n_dev = len(make_data_mesh().devices.reshape(-1))
+        B = len(group)
+        Bp = B + ((-B) % n_dev)
+        probs = np.zeros((Bp, Tb, A1), np.float32)
+        lengths = np.zeros((Bp,), np.int32)
+        for i, it in enumerate(group):
+            probs[i, : it.T] = it.post
+            lengths[i] = it.T
+
+        if key not in _DECODER_CACHE:
+            if key[0] == "beam":
+                _cache_put(key, pipeline.BatchBeamDecoder(
+                    list(key[1]), T=Tb, beam_size=key[3],
+                    beam_cut_threshold=key[4], collapse_repeats=key[5],
+                ))
+            else:
+                _cache_put(key, pipeline.BatchViterbiDecoder(
+                    list(key[1]), T=Tb, collapse_repeats=key[3],
+                    qscale=key[4], qbias=key[5],
+                ))
+        dec = _DECODER_CACHE[key]
+        self.batches += 1
+        if key[0] == "beam":
+            res = dec.decode(probs, lengths)[:B]
+            for it, (seq, starts, err) in zip(group, res):
+                if err != errors.OK:
+                    it.error = errors.SearchError(err)
+                else:
+                    it.result = {"seq": seq, "starts": list(starts)}
+                it.event.set()
+        else:
+            res = dec.decode(probs, lengths, qstring=key[6])[:B]
+            for it, (seq, starts) in zip(group, res):
+                it.result = {"seq": seq, "starts": list(starts)}
+                it.event.set()
+
+
+_MICRO: Optional[MicroBatcher] = None
+
+
+def enable_microbatching(max_batch: int = 256, max_wait_ms: float = 3.0):
+    """Route single-read requests through a shared MicroBatcher."""
+    global _MICRO
+    if _MICRO is None:
+        _MICRO = MicroBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return _MICRO
+
+
+def disable_microbatching():
+    global _MICRO
+    if _MICRO is not None:
+        _MICRO.close()
+        _MICRO = None
+
+
 def decode_request(req: Dict[str, Any]) -> Dict[str, Any]:
     """Execute one decode request dict; returns the response dict.
 
@@ -167,6 +356,10 @@ def decode_request(req: Dict[str, Any]) -> Dict[str, Any]:
     shape = req["shape"]
     posteriors = np.asarray(req["posteriors"], np.float32)
     if len(shape) == 2:
+        if _MICRO is not None and req.get("method", "beam_search") in (
+            "beam_search", "viterbi_search",
+        ):
+            return _MICRO.submit(req, posteriors.reshape(shape))
         return _decode_single(req, posteriors.reshape(shape))
     if len(shape) == 3:
         return _decode_batch(req, posteriors.reshape(shape))
@@ -198,14 +391,19 @@ def decode_json(request_json: str) -> str:
     return handle_json(request_json)[0]
 
 
-def serve_http(host: str = "127.0.0.1", port: int = 8000):
+def serve_http(host: str = "127.0.0.1", port: int = 8000, microbatch: bool = False):
     """Threaded stdlib HTTP server: POST / with a request JSON body.
 
     Threads overlap host-side JSON/detok work across requests; device
     decodes serialize on the JAX dispatch lock, so throughput-minded
-    clients should send batch (3-d shape) requests.
+    clients should send batch (3-d shape) requests — or pass
+    ``microbatch=True`` (CLI ``--microbatch``) to coalesce concurrent
+    single-read requests into shared device batches (see MicroBatcher).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if microbatch:
+        enable_microbatching()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -232,10 +430,13 @@ def main():
     or --http [host:port] for the HTTP server."""
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "--http":
-        hp = sys.argv[2] if len(sys.argv) > 2 else "127.0.0.1:8000"
+    args = sys.argv[1:]
+    microbatch = "--microbatch" in args
+    args = [a for a in args if a != "--microbatch"]
+    if args and args[0] == "--http":
+        hp = args[1] if len(args) > 1 else "127.0.0.1:8000"
         host, _, port = hp.partition(":")
-        serve_http(host, int(port or 8000))
+        serve_http(host, int(port or 8000), microbatch=microbatch)
         return
     for line in sys.stdin:
         line = line.strip()

@@ -301,3 +301,98 @@ class TestServeDecoderCache:
                     reads[i], "NACGT", 5, 0.1, engine="fast"
                 )
                 assert (r["seq"], r["starts"], r["err"]) == (seq, starts, 0)
+
+
+class TestMicroBatch:
+    """Cross-request coalescing: concurrent single-read requests share one
+    device batch (serve.MicroBatcher)."""
+
+    def _req(self, x, method="beam_search", **kw):
+        req = {
+            "method": method,
+            "posteriors": x.reshape(-1).tolist(),
+            "shape": list(x.shape),
+            "alphabet": ["N", "A", "C", "G", "T"],
+        }
+        req.update(kw)
+        return req
+
+    def test_concurrent_singles_coalesce(self):
+        import threading
+
+        from fast_ctc_decode_tpu import serve
+
+        mb = serve.enable_microbatching(max_wait_ms=200.0)
+        try:
+            reads = [rand_read(20 + i, 5, 100 + i) for i in range(8)]
+            outs = [None] * 8
+
+            def run(i):
+                outs[i] = decode_request(
+                    self._req(reads[i], beam_size=5, beam_cut_threshold=0.1)
+                )
+
+            threads = [
+                threading.Thread(target=run, args=(i,)) for i in range(8)
+            ]
+            b0 = mb.batches
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # all 8 landed in one (or at most two, on scheduler skew)
+            # device batches, and sequences match the single-read API
+            assert mb.batches - b0 <= 2
+            for i, x in enumerate(reads):
+                seq, _ = beam_search(x, "NACGT", 5, 0.1)
+                assert outs[i]["seq"] == seq
+        finally:
+            serve.disable_microbatching()
+
+    def test_bad_request_fails_alone(self):
+        import threading
+
+        from fast_ctc_decode_tpu import serve
+
+        mb = serve.enable_microbatching(max_wait_ms=100.0)
+        try:
+            good = rand_read(20, 5, 3)
+            bad = rand_read(20, 5, 4)
+            results = {}
+
+            def run(name, req):
+                body, code = __import__(
+                    "fast_ctc_decode_tpu.serve", fromlist=["handle_json"]
+                ).handle_json(json.dumps(req))
+                results[name] = (json.loads(body), code)
+
+            reqs = {
+                "good": self._req(good, beam_size=5, beam_cut_threshold=0.1),
+                # beam_size=0 must 400 at submit, never touching the batch
+                "bad": self._req(bad, beam_size=0),
+            }
+            threads = [
+                threading.Thread(target=run, args=(k, v))
+                for k, v in reqs.items()
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert results["good"][1] == 200
+            assert results["bad"][1] == 400
+            assert "beam_size cannot be 0" in results["bad"][0]["error"]
+        finally:
+            serve.disable_microbatching()
+
+    def test_viterbi_microbatch_matches_api(self):
+        from fast_ctc_decode_tpu import serve
+
+        serve.enable_microbatching(max_wait_ms=10.0)
+        try:
+            x = rand_read(24, 5, 9)
+            out = decode_request(self._req(x, method="viterbi_search"))
+            seq, path = viterbi_search(x, "NACGT")
+            assert out == {"seq": seq, "starts": path}
+        finally:
+            serve.disable_microbatching()
