@@ -72,6 +72,11 @@ from .. import errors
 NEG = np.float32(-np.inf)
 POS_INF = np.float32(np.inf)
 _I32_MAX = np.iinfo(np.int32).max
+# valid candidates with a true -inf log score stay selectable (only the
+# absence of a push empties a slot — see ops/duplex.py's _NEG_VALID):
+# selection maps them to a finite key strictly below any real log score
+# and keeps -inf as the invalid fill.
+_NEG_VALID = np.float32(-3.0e38)
 A1P = 8  # network rows padded to 8 lanes
 WP = 128  # band row width (lanes); envelopes must keep windows <= WP
 
@@ -88,11 +93,6 @@ def _ls_add(a, b):
 def _ls_max(m, t):
     """LogSpace::max — NaN in ``t`` never replaces ``m`` (duplex.rs:33-39)."""
     return jnp.where(m < t, t, m)
-
-
-def _lane_at(row, i):
-    """(1, 1) value at dynamic lane ``i`` of a (1, L) row."""
-    return pltpu.roll(row, -i, 1)[:, 0:1]
 
 
 def _c11(x):
@@ -965,7 +965,13 @@ def _exact_duplex_kernel(
         score32 = _ls_add(col_l, col_g) + col_p2m
         isn = jnp.isnan(score32)
         col_key = jnp.where(
-            valid32, jnp.where(isn, POS_INF, score32 + 0.0), NEG
+            valid32,
+            jnp.where(
+                isn,
+                POS_INF,
+                jnp.where(score32 == NEG, _NEG_VALID, score32 + 0.0),
+            ),
+            NEG,
         )
         cnt = jnp.sum(
             jnp.where(valid32, 1, 0), axis=0, keepdims=True
@@ -1124,6 +1130,13 @@ def duplex_exact_pallas_batch(
     if K > 8 or K * A > 32 - K:
         raise ValueError("duplex_exact_pallas supports K <= 8, K*(A+1) <= 32")
     N = int(max_nodes)
+    # the per-slot beam word packs (node+2) in 13 bits and the CRF state
+    # above bit 15 — reject budgets the packing cannot represent instead
+    # of silently wrapping node ids
+    if N > 8190:
+        raise ValueError("duplex_exact_pallas supports max_nodes <= 8190")
+    if crf and l1.shape[2] > 65536:
+        raise ValueError("duplex_exact_pallas supports <= 65536 CRF states")
     T1L = -(-(T1 + 2) // 128) * 128
     Rr = T2 + 2
     Rrp = -(-(Rr + WP + 2) // 128) * 128

@@ -574,58 +574,21 @@ class BatchDuplexDecoder:
         the reference — src/duplex.rs:638-649)."""
         B0 = net1.shape[0]
         T1, T2 = self.T1, self.T2
-        shared_env = envelopes is None or np.asarray(envelopes).ndim == 2
-        shared_envelope = None
-        if envelopes is not None and np.asarray(envelopes).ndim == 2:
-            shared_envelope = np.asarray(envelopes)
-        n_dev = len(self.mesh.devices.reshape(-1))
-        pad = (-B0) % n_dev  # pad to a full device batch (length-0 reads)
-        if pad:
-            net1 = np.concatenate([net1, np.repeat(net1[-1:], pad, 0)], 0)
-            net2 = np.concatenate([net2, np.repeat(net2[-1:], pad, 0)], 0)
-            if envelopes is not None and not shared_env:
-                envelopes = np.concatenate(
-                    [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
-                )
-            if lengths is not None:
-                lengths = np.concatenate(
-                    [np.asarray(lengths), np.zeros((pad,), np.int32)]
-                )
-        B = net1.shape[0]
-        if shared_env:
-            env = shared_envelope
-            if env is None:
-                env = np.zeros((T1, 2), np.int64)
-                env[:, 1] = T2
-            envelopes = np.broadcast_to(env.astype(np.int64), (B, T1, 2))
-        if lengths is None:
-            lengths = np.full((B,), T1, np.int32)
-            if pad:
-                lengths[B0:] = 0
-
-        # host prep per pair (once when all pairs share the default
-        # envelope); static W/Wr/Wext are batch maxima
-        los = np.zeros((B, T1), np.int32)
-        his = np.zeros((B, T1), np.int32)
-        W = Wr = 1
-        Wext = 1
-        D = 0
-        needs_ext = False
-        static_window = True
-        rel_window = True
-        for b in range(1 if shared_env else B):
-            ep = self._ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
-            los[b], his[b] = ep.lo, ep.hi
-            W, Wr, Wext = max(W, ep.W), max(Wr, ep.Wr), max(Wext, ep.Wext)
-            D = max(D, ep.D)
-            needs_ext = needs_ext or ep.needs_ext
-            static_window = static_window and ep.static_window
-            rel_window = rel_window and ep.rel_window
-        if shared_env:
-            los[:] = los[0]
-            his[:] = his[0]
-        if static_window:
-            rel_window = False
+        (net1, net2), envelopes, lengths, B, shared_env = _pad_duplex_batch(
+            self.mesh, [net1, net2], envelopes, lengths, T1, T2
+        )
+        los, his, eps = _prep_envelope_batch(
+            self._ops, envelopes, B, T1, T2, shared_env
+        )
+        ep = eps[0]
+        # static W/Wr/Wext are batch maxima
+        W = max(1, max(e.W for e in eps))
+        Wr = max(1, max(e.Wr for e in eps))
+        Wext = max(1, max(e.Wext for e in eps))
+        D = max(0, max(e.D for e in eps))
+        needs_ext = any(e.needs_ext for e in eps)
+        static_window = all(e.static_window for e in eps)
+        rel_window = all(e.rel_window for e in eps) and not static_window
 
         with np.errstate(divide="ignore", invalid="ignore"):
             l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
@@ -675,56 +638,130 @@ class BatchDuplexDecoder:
             return self._assemble(out, B0)
 
         if engine == "pallas":
-            from ..ops import duplex_pallas as duplex_pallas_ops
-
-            out = jax.jit(
-                jax.shard_map(
-                    lambda a, c, rg, ln: duplex_pallas_ops.duplex_pallas_batch(
-                        a, c, rg, ep.lo, ep.hi, thr, ln,
-                        beam_size=self.beam_size,
-                        collapse_repeats=self.collapse,
-                        W=ep.W, D=ep.D, needs_ext=ep.needs_ext,
-                        interpret=jax.default_backend() != "tpu",
-                    ),
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 4,
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )
-            )(l1, l2, root_gap, np.asarray(lengths, np.int32))
-            out = jax.device_get(out)
+            fn = _duplex_pallas_fn(
+                self.mesh, self.beam_size, self.collapse, float(thr),
+                ep.W, ep.D, ep.needs_ext,
+            )
+            out = jax.device_get(
+                fn(l1, l2, root_gap, ep.lo, ep.hi,
+                   np.asarray(lengths, np.int32))
+            )
         else:
             # shared envelopes ride in_axes=None so window starts stay
             # scalars inside the vmapped scan (see duplex_fast_batch)
             if shared_env:
                 lo_a, hi_a = los[0], his[0]
-                env_spec = (P(),) * 2
             else:
                 lo_a, hi_a = los, his
-                env_spec = (P(DATA_AXIS),) * 2
-            out = jax.jit(
-                jax.shard_map(
-                    lambda a, c, rg, lo, hi, ln: self._ops.duplex_fast_batch(
-                        a, c, rg, lo, hi, thr,
-                        jnp.zeros(a.shape[0], jnp.int32), ln,
-                        beam_size=self.beam_size,
-                        collapse_repeats=self.collapse,
-                        W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=False,
-                        static_window=static_window, rel_window=rel_window, D=D,
-                        shared_env=shared_env,
-                    ),
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 3 + env_spec + (P(DATA_AXIS),),
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )
-            )(l1, l2, root_gap, lo_a, hi_a, np.asarray(lengths, np.int32))
-            out = jax.device_get(out)
+            fn = _duplex_fast_fn(
+                self.mesh, self.beam_size, self.collapse, float(thr),
+                W, Wr, Wext, needs_ext, False,
+                static_window, rel_window, D, shared_env,
+            )
+            out = jax.device_get(
+                fn(l1, l2, root_gap, lo_a, hi_a,
+                   np.zeros((l1.shape[0],), np.int32),
+                   np.asarray(lengths, np.int32))
+            )
 
         return self._assemble(out, B0)
 
     def _assemble(self, out, B0):
         return _assemble_duplex(out, B0, self.alphabet)
+
+
+@functools.lru_cache(maxsize=32)
+def _duplex_fast_fn(
+    mesh, beam_size, collapse, thr, W, Wr, Wext, needs_ext, crf,
+    static_window, rel_window, D, shared_env,
+):
+    """Cached jitted shard_map over duplex_fast_batch — rebuilding the jit
+    wrapper per decode() call would recompile on every invocation (the
+    10x hit _decode_and_count_fn documents)."""
+    from ..ops import duplex_fast as duplex_fast_ops
+
+    env_spec = (P(),) * 2 if shared_env else (P(DATA_AXIS),) * 2
+    return jax.jit(
+        jax.shard_map(
+            lambda a, c, rg, lo, hi, st, ln: duplex_fast_ops.duplex_fast_batch(
+                a, c, rg, lo, hi, np.float32(thr), st, ln,
+                beam_size=beam_size, collapse_repeats=collapse,
+                W=W, Wr=Wr, Wext=Wext, needs_ext=needs_ext, crf=crf,
+                static_window=static_window, rel_window=rel_window, D=D,
+                shared_env=shared_env,
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 3 + env_spec + (P(DATA_AXIS),) * 2,
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _duplex_pallas_fn(mesh, beam_size, collapse, thr, W, D, needs_ext):
+    """Cached jitted shard_map over the slot-band Pallas duplex kernel
+    (shared [T1] envelopes ride replicated args, not baked constants)."""
+    from ..ops import duplex_pallas as duplex_pallas_ops
+
+    return jax.jit(
+        jax.shard_map(
+            lambda a, c, rg, lo, hi, ln: duplex_pallas_ops.duplex_pallas_batch(
+                a, c, rg, lo, hi, np.float32(thr), ln,
+                beam_size=beam_size, collapse_repeats=collapse,
+                W=W, D=D, needs_ext=needs_ext,
+                interpret=jax.default_backend() != "tpu",
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 3 + (P(), P()) + (P(DATA_AXIS),),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _duplex_exact_xla_fn(
+    mesh, beam_size, collapse, thr, N, We, Wre, Wxe, ne, crf,
+):
+    """Cached jitted shard_map over the batched XLA tree engine."""
+    from ..ops import duplex as duplex_ops
+
+    return jax.jit(
+        jax.shard_map(
+            lambda a, c, rg, lo_, hi_, st, ln: duplex_ops.duplex_exact_batch(
+                a, c, rg, lo_, hi_, np.float32(thr), st, ln,
+                beam_size=beam_size, collapse_repeats=collapse,
+                max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
+                needs_ext=ne, crf=crf,
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 7,
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _duplex_exact_pallas_fn(mesh, beam_size, collapse, thr, N, ne, crf):
+    """Cached jitted shard_map over the fused tree-engine duplex kernel."""
+    from ..ops import duplex_exact_pallas as dxp
+
+    return jax.jit(
+        jax.shard_map(
+            lambda a, c, rg, lo_, hi_, st, ln: dxp.duplex_exact_pallas_batch(
+                a, c, rg, lo_, hi_, np.float32(thr), st, ln,
+                beam_size=beam_size, collapse_repeats=collapse,
+                max_nodes=N, crf=crf, needs_ext=ne,
+                interpret=jax.default_backend() != "tpu",
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 7,
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
 
 
 def _assemble_duplex(out, B0, alphabet):
@@ -742,6 +779,57 @@ def _assemble_duplex(out, B0, alphabet):
         (s if int(e) == errors.OK else "", int(e))
         for s, e in zip(seqs[:B0], np.asarray(out["err"])[:B0])
     ]
+
+
+def _pad_duplex_batch(mesh, arrays, envelopes, lengths, T1, T2):
+    """Shared duplex batch prep: pad per-pair arrays to a full device
+    batch (padding pairs are length-0 reads), normalize ``envelopes`` to a
+    dense [B, T1, 2] view (None = full range; [T1, 2] = shared), default
+    ``lengths``.  Returns (arrays, envelopes, lengths, B, shared_env)."""
+    B0 = arrays[0].shape[0]
+    shared_env = envelopes is None or np.asarray(envelopes).ndim == 2
+    n_dev = len(mesh.devices.reshape(-1))
+    pad = (-B0) % n_dev
+    if pad:
+        arrays = [
+            np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0) for a in arrays
+        ]
+        if envelopes is not None and not shared_env:
+            envelopes = np.concatenate(
+                [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
+            )
+        if lengths is not None:
+            lengths = np.concatenate(
+                [np.asarray(lengths), np.zeros((pad,), np.int32)]
+            )
+    B = arrays[0].shape[0]
+    if shared_env:
+        env = None if envelopes is None else np.asarray(envelopes)
+        if env is None:
+            env = np.zeros((T1, 2), np.int64)
+            env[:, 1] = T2
+        envelopes = np.broadcast_to(env.astype(np.int64), (B, T1, 2))
+    if lengths is None:
+        lengths = np.full((B,), T1, np.int32)
+        if pad:
+            lengths[B0:] = 0
+    return arrays, envelopes, np.asarray(lengths, np.int32), B, shared_env
+
+
+def _prep_envelope_batch(ops, envelopes, B, T1, T2, shared_env):
+    """Fast-engine envelope prep per pair (once when shared): returns
+    ([B, T1] lo, [B, T1] hi, [EnvPrep, ...])."""
+    los = np.zeros((B, T1), np.int32)
+    his = np.zeros((B, T1), np.int32)
+    eps = []
+    for b in range(1 if shared_env else B):
+        ep = ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
+        eps.append(ep)
+        los[b], his[b] = ep.lo, ep.hi
+    if shared_env:
+        los[:] = los[0]
+        his[:] = his[0]
+    return los, his, eps
 
 
 def _exact_pallas_ok(We, beam_size, A):
@@ -792,20 +880,9 @@ def _exact_engine_out(
         per_read = N * We * 8
         n_dev = len(dec.mesh.devices.reshape(-1))
         chunk = max(int(2e9 // max(per_read, 1)), 1) * n_dev
-        fn = jax.jit(
-            jax.shard_map(
-                lambda a, c, rg, lo_, hi_, st, ln: duplex_ops.duplex_exact_batch(
-                    a, c, rg, lo_, hi_, thr, st, ln,
-                    beam_size=dec.beam_size,
-                    collapse_repeats=collapse,
-                    max_nodes=N, W=We, Wr=Wre, Wext=Wxe,
-                    needs_ext=ne, crf=crf,
-                ),
-                mesh=dec.mesh,
-                in_specs=(P(DATA_AXIS),) * 7,
-                out_specs=P(DATA_AXIS),
-                check_vma=False,
-            )
+        fn = _duplex_exact_xla_fn(
+            dec.mesh, dec.beam_size, collapse, float(thr),
+            N, We, Wre, Wxe, ne, crf,
         )
         outs = []
         # the ~2 GB chunk sizing is a heuristic; if a W/max_nodes miscount
@@ -835,21 +912,9 @@ def _exact_engine_out(
     if not use_pallas:
         return xla_out(l1, l2, root_gap, los, his, init_states, lengths)
 
-    from ..ops import duplex_exact_pallas as dxp
-
-    fn = jax.jit(
-        jax.shard_map(
-            lambda a, c, rg, lo_, hi_, st, ln: dxp.duplex_exact_pallas_batch(
-                a, c, rg, lo_, hi_, thr, st, ln,
-                beam_size=dec.beam_size, collapse_repeats=collapse,
-                max_nodes=min(N, 4096), crf=crf, needs_ext=ne,
-                interpret=jax.default_backend() != "tpu",
-            ),
-            mesh=dec.mesh,
-            in_specs=(P(DATA_AXIS),) * 7,
-            out_specs=P(DATA_AXIS),
-            check_vma=False,
-        )
+    fn = _duplex_exact_pallas_fn(
+        dec.mesh, dec.beam_size, collapse, float(thr),
+        min(N, 4096), ne, crf,
     )
     out = jax.device_get(
         fn(l1, l2, root_gap, los, his, init_states, lengths)
@@ -921,34 +986,12 @@ class BatchCrfDuplexDecoder:
         B0 = net1.shape[0]
         T1, T2, S = self.T1, self.T2, self.S
         A = len(self.alphabet) - 1
-        shared_env = envelopes is None or np.asarray(envelopes).ndim == 2
-        n_dev = len(self.mesh.devices.reshape(-1))
-        pad = (-B0) % n_dev
-        if pad:
-            net1 = np.concatenate([net1, np.repeat(net1[-1:], pad, 0)], 0)
-            net2 = np.concatenate([net2, np.repeat(net2[-1:], pad, 0)], 0)
-            init1 = np.concatenate([init1, np.repeat(init1[-1:], pad, 0)], 0)
-            init2 = np.concatenate([init2, np.repeat(init2[-1:], pad, 0)], 0)
-            if envelopes is not None and not shared_env:
-                envelopes = np.concatenate(
-                    [envelopes, np.repeat(envelopes[-1:], pad, 0)], 0
-                )
-            if lengths is not None:
-                lengths = np.concatenate(
-                    [np.asarray(lengths), np.zeros((pad,), np.int32)]
-                )
-        B = net1.shape[0]
-        if shared_env:
-            env = None if envelopes is None else np.asarray(envelopes)
-            if env is None:
-                env = np.zeros((T1, 2), np.int64)
-                env[:, 1] = T2
-            envelopes = np.broadcast_to(env.astype(np.int64), (B, T1, 2))
-        if lengths is None:
-            lengths = np.full((B,), T1, np.int32)
-            if pad:
-                lengths[B0:] = 0
-        lengths = np.asarray(lengths, np.int32)
+        (net1, net2, init1, init2), envelopes, lengths, B, shared_env = (
+            _pad_duplex_batch(
+                self.mesh, [net1, net2, init1, init2], envelopes, lengths,
+                T1, T2,
+            )
+        )
 
         with np.errstate(divide="ignore", invalid="ignore"):
             l1 = np.log(np.asarray(net1, np.float32), dtype=np.float32)
@@ -958,16 +1001,9 @@ class BatchCrfDuplexDecoder:
             np.int32
         )
 
-        los = np.zeros((B, T1), np.int32)
-        his = np.zeros((B, T1), np.int32)
-        eps = []
-        for b in range(1 if shared_env else B):
-            ep = self._ops._prep_envelope_fast(np.asarray(envelopes[b]), T2)
-            eps.append(ep)
-            los[b], his[b] = ep.lo, ep.hi
-        if shared_env:
-            los[:] = los[0]
-            his[:] = his[0]
+        los, his, eps = _prep_envelope_batch(
+            self._ops, envelopes, B, T1, T2, shared_env
+        )
         Wr = max(
             int(min(max(envelopes[b][0, 1], 0), T2)) + 1
             for b in range(1 if shared_env else B)
@@ -1013,26 +1049,14 @@ class BatchCrfDuplexDecoder:
         rel_window = all(ep.rel_window for ep in eps) and not static_window
         if shared_env:
             lo_a, hi_a = los[0], his[0]
-            env_spec = (P(),) * 2
         else:
             lo_a, hi_a = los, his
-            env_spec = (P(DATA_AXIS),) * 2
+        fn = _duplex_fast_fn(
+            self.mesh, self.beam_size, False, float(thr),
+            W, Wrm, Wext, needs_ext, True,
+            static_window, rel_window, D, shared_env,
+        )
         out = jax.device_get(
-            jax.jit(
-                jax.shard_map(
-                    lambda a, c, rg, lo, hi, st, ln: self._ops.duplex_fast_batch(
-                        a, c, rg, lo, hi, thr, st, ln,
-                        beam_size=self.beam_size,
-                        collapse_repeats=False,
-                        W=W, Wr=Wrm, Wext=Wext, needs_ext=needs_ext,
-                        crf=True, static_window=static_window,
-                        rel_window=rel_window, D=D, shared_env=shared_env,
-                    ),
-                    mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS),) * 3 + env_spec + (P(DATA_AXIS),) * 2,
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )
-            )(l1, l2, root_gap, lo_a, hi_a, init_states, lengths)
+            fn(l1, l2, root_gap, lo_a, hi_a, init_states, lengths)
         )
         return _assemble_duplex(out, B0, self.alphabet)

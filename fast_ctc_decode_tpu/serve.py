@@ -73,14 +73,21 @@ def _decode_single(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any
 
 _DECODER_CACHE: Dict[Tuple, Any] = {}
 _DECODER_CACHE_MAX = 16
+_DECODER_LOCK = threading.Lock()
 
 
-def _cache_put(key, value):
-    """Insert with a FIFO bound so a long-running server cannot pin an
-    unbounded set of compiled decoders."""
-    if len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
-        _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
-    _DECODER_CACHE[key] = value
+def _cache_get_or_make(key, factory):
+    """FIFO-bounded compiled-decoder cache, safe against concurrent
+    handler/micro-batcher threads: the caller keeps the returned decoder
+    even if another thread evicts the entry immediately after."""
+    with _DECODER_LOCK:
+        dec = _DECODER_CACHE.get(key)
+        if dec is None:
+            dec = factory()
+            if len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
+                _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
+            _DECODER_CACHE[key] = dec
+    return dec
 
 
 def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]:
@@ -126,12 +133,10 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
             float(req.get("beam_cut_threshold", 0.0)),
             bool(req.get("collapse_repeats", True)),
         )
-        if key not in _DECODER_CACHE:
-            _cache_put(key, pipeline.BatchBeamDecoder(
-                list(alphabet), T=T, beam_size=key[3],
-                beam_cut_threshold=key[4], collapse_repeats=key[5],
-            ))
-        dec = _DECODER_CACHE[key]
+        dec = _cache_get_or_make(key, lambda: pipeline.BatchBeamDecoder(
+            list(alphabet), T=T, beam_size=key[3],
+            beam_cut_threshold=key[4], collapse_repeats=key[5],
+        ))
         res = dec.decode(posteriors, lengths)[:B]
         return {
             "results": [
@@ -145,12 +150,10 @@ def _decode_batch(req: Dict[str, Any], posteriors: np.ndarray) -> Dict[str, Any]
             float(req.get("qscale", 1.0)),
             float(req.get("qbias", 0.0)),
         )
-        if key not in _DECODER_CACHE:
-            _cache_put(key, pipeline.BatchViterbiDecoder(
-                list(alphabet), T=T, collapse_repeats=key[3],
-                qscale=key[4], qbias=key[5],
-            ))
-        dec = _DECODER_CACHE[key]
+        dec = _cache_get_or_make(key, lambda: pipeline.BatchViterbiDecoder(
+            list(alphabet), T=T, collapse_repeats=key[3],
+            qscale=key[4], qbias=key[5],
+        ))
         res = dec.decode(
             posteriors, lengths, qstring=bool(req.get("qstring", False))
         )[:B]
@@ -301,18 +304,20 @@ class MicroBatcher:
             probs[i, : it.T] = it.post
             lengths[i] = it.T
 
-        if key not in _DECODER_CACHE:
-            if key[0] == "beam":
-                _cache_put(key, pipeline.BatchBeamDecoder(
-                    list(key[1]), T=Tb, beam_size=key[3],
-                    beam_cut_threshold=key[4], collapse_repeats=key[5],
-                ))
-            else:
-                _cache_put(key, pipeline.BatchViterbiDecoder(
+        if key[0] == "beam":
+            dec = _cache_get_or_make(key, lambda: pipeline.BatchBeamDecoder(
+                list(key[1]), T=Tb, beam_size=key[3],
+                beam_cut_threshold=key[4], collapse_repeats=key[5],
+            ))
+        else:
+            # decoder key drops qstring (key[6]) — it is a decode-time
+            # argument, not part of the compiled shape
+            dec = _cache_get_or_make(
+                key[:6], lambda: pipeline.BatchViterbiDecoder(
                     list(key[1]), T=Tb, collapse_repeats=key[3],
                     qscale=key[4], qbias=key[5],
-                ))
-        dec = _DECODER_CACHE[key]
+                )
+            )
         self.batches += 1
         if key[0] == "beam":
             res = dec.decode(probs, lengths)[:B]
@@ -438,6 +443,10 @@ def main():
         host, _, port = hp.partition(":")
         serve_http(host, int(port or 8000), microbatch=microbatch)
         return
+    if microbatch:
+        # honored in stdin mode too (coalescing only helps when multiple
+        # producers share the process, but the flag must not be a no-op)
+        enable_microbatching()
     for line in sys.stdin:
         line = line.strip()
         if line:

@@ -204,3 +204,46 @@ def test_engine_validation():
     want = beam_search_duplex(n1[0], n2[0], "NACG", envelope=env,
                               beam_size=8, engine="exact")
     assert res[0] == (want, 0)
+
+
+def test_zero_probability_step_keeps_beam():
+    """A valid beam entry whose log score is exactly -inf (an all-zero
+    probability step) must stay selectable: the reference keeps it in the
+    beam (only the absence of a push empties a slot).  Regression for the
+    kernel mapping -inf scores to the invalid selection fill, which
+    spuriously reported RAN_OUT_OF_BEAM."""
+    T1, T2, B = 5, 6, 2
+    env = diag_env(T1, T2, 2)
+    n1 = np.stack([random_data(T1, 5, i) for i in range(B)])
+    n2 = np.stack([random_data(T2, 5, 50 + i) for i in range(B)])
+    n1[1, 2, :] = 0.0  # read 1 has one all-zero step
+    l1, l2, rg, los, his, thr, W, Wr, Wext, ne = _prep(n1, n2, env, B, 0.0)
+    lens = np.full((B,), T1, np.int32)
+    inits = np.zeros((B,), np.int32)
+    N = duplex_ops._duplex_max_nodes(T1, 5, 4, W)
+
+    ref = duplex_ops.duplex_exact_batch(
+        l1, l2, rg, los, his, thr, inits, lens,
+        beam_size=5, collapse_repeats=True, max_nodes=N, W=W, Wr=Wr,
+        Wext=Wext, needs_ext=ne, crf=False,
+    )
+    out = dxp.duplex_exact_pallas_batch(
+        l1, l2, rg, los, his, thr, inits, lens,
+        beam_size=5, collapse_repeats=True, max_nodes=min(N, 4096),
+        crf=False, needs_ext=ne, interpret=True,
+    )
+    assert np.asarray(ref["err"]).tolist() == [0, 0]
+    assert np.asarray(out["err"]).tolist() == [0, 0]
+    assert _seqs(out, B) == _seqs(ref, B)
+
+
+def test_max_nodes_packing_limit_rejected():
+    with pytest.raises(ValueError, match="max_nodes"):
+        dxp.duplex_exact_pallas_batch(
+            np.zeros((1, 4, 5), np.float32), np.zeros((1, 4, 5), np.float32),
+            np.zeros((1, 2), np.float32), np.zeros((1, 4), np.int32),
+            np.full((1, 4), 2, np.int32), np.float32(-1.0),
+            np.zeros((1,), np.int32), np.full((1,), 4, np.int32),
+            beam_size=5, collapse_repeats=True, max_nodes=10000,
+            crf=False, needs_ext=False, interpret=True,
+        )

@@ -231,14 +231,23 @@ def bench_overhead(reads_per_dev: int, T: int, reps: int = 5, engine="fast"):
     rps_plain = B / ((time.perf_counter() - t0) / reps)
 
     mesh = make_data_mesh()
+    # re-place the inputs sharded over the mesh (with >1 device, the
+    # single-device copies above are incompatible with shard_map)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    pd = jax.device_put(probs, sh)
+    ld = jax.device_put(lengths, sh)
     out, tot = decode_and_count(
-        mesh, pd, ld, beam_size=5, threshold=0.1, collapse=True
+        mesh, pd, ld, beam_size=5, threshold=0.1, collapse=True,
+        engine=engine,
     )
     np.asarray(tot).sum()
     t0 = time.perf_counter()
     for _ in range(reps):
         out, tot = decode_and_count(
-            mesh, pd, ld, beam_size=5, threshold=0.1, collapse=True
+            mesh, pd, ld, beam_size=5, threshold=0.1, collapse=True,
+            engine=engine,
         )
     np.asarray(tot).sum()
     rps_shard = B / ((time.perf_counter() - t0) / reps)
