@@ -247,6 +247,60 @@ def main():
     )
     print(f"duplex banded exact batched x{Be}: {Be / dt:>8,.1f} pairs/s")
 
+    if on_tpu:
+        # fused tree-engine kernel: reference band-reuse semantics at
+        # throughput (ops/duplex_exact_pallas.py)
+        from fast_ctc_decode_tpu.ops import duplex_exact_pallas as dxp
+
+        Bx = Bd
+        lobx = np.tile(lo_, (Bx, 1)).astype(np.int32)
+        hibx = np.tile(hi_, (Bx, 1)).astype(np.int32)
+        dt = timeit_pipelined(
+            lambda: dxp.duplex_exact_pallas_batch(
+                a1d[:Bx], a2d[:Bx], rgd[:Bx], lobx, hibx,
+                np.float32(-np.inf), np.zeros(Bx, np.int32),
+                np.full(Bx, T1, np.int32),
+                beam_size=5, collapse_repeats=True,
+                max_nodes=min(N, 4096), crf=False, needs_ext=ne,
+            ),
+            mat,
+            2,
+        )
+        print(f"duplex banded exact-pallas x{Bx}: {Bx / dt:>8,.1f} pairs/s")
+
+        # CRF through the same kernel (the CRF duplex throughput path —
+        # PERF.md "Why there is no CRF mode in the slot-band kernel")
+        Sx = 16
+        c1 = rng.rand(Bx, T1, Sx, A1).astype(np.float32)
+        c1 /= c1.sum(-1, keepdims=True)
+        c2 = rng.rand(Bx, T2, Sx, A1).astype(np.float32)
+        c2 /= c2.sum(-1, keepdims=True)
+        with np.errstate(divide="ignore"):
+            cl1 = np.log(c1).astype(np.float32)
+            cl2 = np.log(c2).astype(np.float32)
+        crg = np.zeros((Bx, ep.Wr), np.float32)
+        st = np.zeros((Bx,), np.int64)
+        cur = np.zeros((Bx,), np.float32)
+        for i in range(ep.Wr - 1):
+            cur = cur + cl2[np.arange(Bx), i, st, 0]
+            crg[:, i + 1] = cur
+            st = (st * (A1 - 1)) % Sx
+        dt = timeit_pipelined(
+            lambda: dxp.duplex_exact_pallas_batch(
+                jax.device_put(cl1), jax.device_put(cl2),
+                jax.device_put(crg), lobx, hibx,
+                np.float32(-np.inf), np.zeros(Bx, np.int32),
+                np.full(Bx, T1, np.int32),
+                beam_size=5, collapse_repeats=False,
+                max_nodes=min(N, 4096), crf=True, needs_ext=ne,
+            ),
+            mat,
+            2,
+        )
+        print(
+            f"CRF duplex exact-pallas x{Bx} (S={Sx}): {Bx / dt:>8,.1f} pairs/s"
+        )
+
 
 if __name__ == "__main__":
     main()
