@@ -396,3 +396,58 @@ class TestMicroBatch:
             assert out == {"seq": seq, "starts": path}
         finally:
             serve.disable_microbatching()
+
+    def test_qstring_variants_share_one_decoder(self):
+        from fast_ctc_decode_tpu import serve
+
+        serve.enable_microbatching(max_wait_ms=10.0)
+        try:
+            x = rand_read(24, 5, 21)
+            keys0 = set(serve._DECODER_CACHE)
+            out_plain = decode_request(self._req(x, method="viterbi_search"))
+            out_q = decode_request(
+                self._req(x, method="viterbi_search", qstring=True)
+            )
+            # qstring is a decode-time arg: both requests share ONE
+            # BatchViterbiDecoder cache entry
+            assert len(set(serve._DECODER_CACHE) - keys0) <= 1
+            seq, path = viterbi_search(x, "NACGT")
+            seq_q, path_q = viterbi_search(x, "NACGT", qstring=True)
+            assert out_plain == {"seq": seq, "starts": path}
+            assert out_q == {"seq": seq_q, "starts": path_q}
+        finally:
+            serve.disable_microbatching()
+
+    def test_different_buckets_group_separately(self):
+        import threading
+
+        from fast_ctc_decode_tpu import serve
+        from fast_ctc_decode_tpu.parallel.pipeline import _bucket_edge_for
+
+        mb = serve.enable_microbatching(max_wait_ms=200.0)
+        try:
+            # T=20 and T=200 fall in different power-of-two buckets, so one
+            # drain cycle runs two device batches
+            reads = [rand_read(20, 5, 31), rand_read(200, 5, 32)]
+            assert _bucket_edge_for(20) != _bucket_edge_for(200)
+            outs = [None, None]
+
+            def run(i):
+                outs[i] = decode_request(
+                    self._req(reads[i], beam_size=5, beam_cut_threshold=0.1)
+                )
+
+            b0 = mb.batches
+            threads = [
+                threading.Thread(target=run, args=(i,)) for i in range(2)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert mb.batches - b0 == 2
+            for i, x in enumerate(reads):
+                seq, _ = beam_search(x, "NACGT", 5, 0.1)
+                assert outs[i]["seq"] == seq
+        finally:
+            serve.disable_microbatching()
