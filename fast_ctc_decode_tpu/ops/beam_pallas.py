@@ -225,36 +225,33 @@ def _beam_kernel(
         fresh_valid = push_ext & ~matched
         fresh_id = t * KA + k_of_r * np.int32(A) + a_of_r
         tip_tot = tip_lab + tip_gap
+        m_ext_v = jnp.where(fresh_valid, m_ext, 0.0)
         c_key = jnp.concatenate(
-            [
-                key_of(tip_valid, tip_tot),
-                key_of(fresh_valid, jnp.where(fresh_valid, m_ext, 0.0)),
-            ]
+            [key_of(tip_valid, tip_tot), key_of(fresh_valid, m_ext_v)]
         )  # (KP + KAP, Bt)
-        c_lab = jnp.concatenate(
-            [tip_lab, jnp.where(fresh_valid, m_ext, 0.0)]
-        )
-        c_gap = jnp.concatenate([tip_gap, jnp.zeros((KAP, Bt), jnp.float32)])
         c_id = jnp.concatenate([idv, fresh_id])
-        c_h1 = jnp.concatenate([h1, th1])
-        c_h2 = jnp.concatenate([h2, th2])
-        c_ll = jnp.concatenate([lastlab, a_of_r])
-        c_tot = c_lab + c_gap
 
-        # error flags (reference NaN semantics: >= 2 candidates compared)
+        # error flags (reference NaN semantics: >= 2 candidates compared),
+        # per region — no concatenated tot plane needed
         c_valid = c_key > NEG_INF  # (NaN totals map to +inf, so this holds)
         cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
         nanv = jnp.max(
-            jnp.where(c_valid & jnp.isnan(c_tot), 1, 0), axis=0, keepdims=True
+            jnp.where(tip_valid & jnp.isnan(tip_tot), 1, 0),
+            axis=0, keepdims=True,
+        ) | jnp.max(
+            jnp.where(fresh_valid & jnp.isnan(m_ext), 1, 0),
+            axis=0, keepdims=True,
         )
         nan_flag = (cnt >= 2) & (nanv != 0)
         empty_flag = cnt == 0
 
         # ---- top-K selection: K rounds of (max, tie -> min id) ----
-        # Only lab/gap/h1/h2 need masked-reduction picks: the min-id pass
-        # already materializes the chosen id, and the position-coded id
-        # (t*K*A + k*A + a) carries the last label in its low bits (root
-        # id -1 -> -1).
+        # The min-id pass materializes the chosen id, and the
+        # position-coded id (t*K*A + k*A + a) carries the last label in
+        # its low bits (root id -1 -> -1).  Field picks are split by
+        # region (tips 0..KP-1, fresh KP..) — the chosen row lives in
+        # exactly one, so the field is the sum of two disjoint masked
+        # reductions (and gap needs only the tip region: fresh gap = 0).
         sel_rows = []  # per round: (valid, [lab, gap, id, h1, h2, lastlab])
         top = None
         key = c_key
@@ -266,24 +263,33 @@ def _beam_kernel(
                 jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True
             )
             chosen = at & (c_id == sid)
+            ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
 
-            def pick(arr, z):
+            def pick_t(arr, z):
                 return jnp.sum(
-                    jnp.where(chosen, arr, z), axis=0, keepdims=True
+                    jnp.where(ch_t, arr, z), axis=0, keepdims=True
+                )
+
+            def pick_f(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
                 )
 
             sel_id = jnp.where(slot_valid, sid, -2)
             sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(m_ext_v, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
             acc = [
-                pick(c_lab, 0.0),
-                pick(c_gap, 0.0),
+                sel_lab,
+                sel_gap,
                 sel_id,
-                pick(c_h1, 0),
-                pick(c_h2, 0),
+                pick_t(h1, 0) + pick_f(th1, 0),
+                pick_t(h2, 0) + pick_f(th2, 0),
                 sel_ll,
             ]
             if top is None:
-                top = pick(c_tot, 0.0)  # pre-normalization top score
+                top = sel_lab + sel_gap  # pre-normalization top score
             key = jnp.where(chosen, NEG_INF, key)
             sel_rows.append((slot_valid, acc))
 
@@ -605,32 +611,37 @@ def _crf_beam_kernel(
             return jnp.concatenate([tip_arr] + list(fresh_arrs), axis=0)
 
         fvs = [push_ext[a] & ~matched[a] & in_beam for a in range(A)]
+        m_ext_v = [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)]
+        fresh_lab = jnp.concatenate(m_ext_v, axis=0)  # (KP*A, Bt)
         c_key = catk(
             key_of(tip_valid, tip_tot),
-            [key_of(fvs[a], jnp.where(fvs[a], m_ext[a], 0.0)) for a in range(A)],
+            [key_of(fvs[a], m_ext_v[a]) for a in range(A)],
         )
-        c_lab = catk(tip_lab, [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)])
-        zero_kp = jnp.zeros((KP, Bt), jnp.float32)
-        c_gap = catk(tip_gap, [zero_kp] * A)
         fresh_k_id = slot * np.int32(A)
         c_id = catk(idv, [base_id + fresh_k_id + np.int32(a) for a in range(A)])
-        c_h1 = catk(h1, th1)
-        c_h2 = catk(h2, th2)
-        c_ll = catk(lastlab, [jnp.full((KP, Bt), a, jnp.int32) for a in range(A)])
-        c_st = catk(state, new_state)
-        c_tot = c_lab + c_gap
+        fresh_h1 = jnp.concatenate(th1, axis=0)
+        fresh_h2 = jnp.concatenate(th2, axis=0)
+        fresh_st = jnp.concatenate(new_state, axis=0)
 
+        # per-region NaN flags — no concatenated tot plane needed
         c_valid = c_key > NEG_INF
         cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
         nanv = jnp.max(
-            jnp.where(c_valid & jnp.isnan(c_tot), 1, 0), axis=0, keepdims=True
+            jnp.where(tip_valid & jnp.isnan(tip_tot), 1, 0),
+            axis=0, keepdims=True,
         )
+        for a in range(A):
+            nanv = nanv | jnp.max(
+                jnp.where(fvs[a] & jnp.isnan(m_ext[a]), 1, 0),
+                axis=0, keepdims=True,
+            )
         nan_flag = (cnt >= 2) & (nanv != 0)
         empty_flag = cnt == 0
 
         # id comes from the min-id pass and lastlab from the id's low bits
         # (see the plain kernel); the CRF state stays a pick (a tip's id
-        # does not encode its slot)
+        # does not encode its slot).  Field picks split by region as in
+        # the plain kernel (fresh gap = 0, so gap reduces tips only).
         sel_rows = []
         top = None
         key = c_key
@@ -640,19 +651,27 @@ def _crf_beam_kernel(
             at = key == mx
             sid = jnp.min(jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True)
             chosen = at & (c_id == sid)
+            ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
 
-            def pick(arr, z):
-                return jnp.sum(jnp.where(chosen, arr, z), axis=0, keepdims=True)
+            def pick_t(arr, z):
+                return jnp.sum(jnp.where(ch_t, arr, z), axis=0, keepdims=True)
 
+            def pick_f(arr, z):
+                return jnp.sum(jnp.where(ch_f, arr, z), axis=0, keepdims=True)
+
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(fresh_lab, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
             acc = [
-                pick(c_lab, 0.0), pick(c_gap, 0.0),
+                sel_lab, sel_gap,
                 jnp.where(slot_valid, sid, -2),
-                pick(c_h1, 0), pick(c_h2, 0),
+                pick_t(h1, 0) + pick_f(fresh_h1, 0),
+                pick_t(h2, 0) + pick_f(fresh_h2, 0),
                 jnp.where(sid < 0, -1, sid % np.int32(A)),
-                pick(c_st, 0),
+                pick_t(state, 0) + pick_f(fresh_st, 0),
             ]
             if top is None:
-                top = pick(c_tot, 0.0)
+                top = sel_lab + sel_gap
             key = jnp.where(chosen, NEG_INF, key)
             sel_rows.append((slot_valid, acc))
 
