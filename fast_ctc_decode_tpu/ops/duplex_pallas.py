@@ -489,23 +489,14 @@ def _duplex_kernel(
         nan_flag = (cnt >= 2) & (nanv != 0)
         empty_flag = cnt == 0
 
-        c_p1l = jnp.concatenate([tip_lab, jnp.where(fresh_valid, m_ext, NEG)])
-        c_p1g = jnp.concatenate([tip_gap, jnp.full((KAP, Bt), NEG)])
-        c_p2m = jnp.concatenate([p2m_ref[:], p2m_new])
-        c_h1 = jnp.concatenate([h1v, th1])
-        c_h2 = jnp.concatenate([h2v, th2])
-        c_ph1 = jnp.concatenate([ph1_ref[:], h1e])
-        c_ph2 = jnp.concatenate([ph2_ref[:], h2e])
-        c_ll = jnp.concatenate([llv, a_of_r])
-        c_pll = jnp.concatenate([pll_ref[:], expand_k(llv)])
-        c_pr = jnp.concatenate([pr_ref[:], root_e.astype(jnp.int32)])
-        ones_i = jnp.ones((KAP, Bt), jnp.int32)
-        c_bo = jnp.concatenate([bo_v, ones_i * lo])
-        c_be = jnp.concatenate([be_v, ones_i * hi])
-        c_pbo = jnp.concatenate([pbo_ref[:], expand_k(bo_v)])
-        c_pbe = jnp.concatenate([pbe_ref[:], expand_k(be_v)])
-        c_src = jnp.concatenate([jnp.full((KP, Bt), K, jnp.int32), k_of_r])
-        c_row = jax.lax.broadcasted_iota(jnp.int32, (KP + KAP, Bt), 0)
+        # field extraction is split by region — the chosen row is a tip
+        # (rows 0..KP-1) or fresh (rows KP..): tip fields reduce 8 rows,
+        # fresh fields come from the position-coded id, the scalar window
+        # bounds, or the *parent tip's* row via the derived source-slot
+        # mask — no concatenated field planes, no expand_k fresh halves
+        m_ext_v = jnp.where(fresh_valid, m_ext, np.float32(0))
+        tip_root_i = tip_root.astype(jnp.int32)
+        tKA = t * np.int32(KA)
 
         sel = []
         remaining = c_valid
@@ -516,26 +507,51 @@ def _duplex_kernel(
             at = remaining & (kk == mx)
             sid = jnp.min(jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True)
             chosen = at & (c_id == sid)
+            ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
+            isf = slot_ok & (sid >= tKA)
 
-            def pick(arr, z):
+            def pt(arr, z):
                 return jnp.sum(
-                    jnp.where(chosen, arr, z), axis=0, keepdims=True
+                    jnp.where(ch_t, arr, z), axis=0, keepdims=True
+                )
+
+            def pf(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
+                )
+
+            src_f = pf(k_of_r, 0)  # source tip slot of a fresh choice
+            src_mask = (slot_kp == src_f) & isf
+
+            def ps(arr):
+                return jnp.sum(
+                    jnp.where(src_mask, arr, 0), axis=0, keepdims=True
                 )
 
             vals = {
-                "id": pick(c_id, 0), "h1": pick(c_h1, 0), "h2": pick(c_h2, 0),
-                "ph1": pick(c_ph1, 0), "ph2": pick(c_ph2, 0),
-                "ll": pick(c_ll, 0), "pll": pick(c_pll, 0),
-                "pr": pick(c_pr, 0),
-                "p1l": pick(c_p1l, np.float32(0)),
-                "p1g": pick(c_p1g, np.float32(0)),
-                "p2m": pick(c_p2m, np.float32(0)),
-                "bo": pick(c_bo, 0), "be": pick(c_be, 0),
-                "pbo": pick(c_pbo, 0), "pbe": pick(c_pbe, 0),
-                "src": pick(c_src, 0),
-                "crow": pick(c_row, 0),
+                "id": jnp.where(slot_ok, sid, 0),
+                "h1": pt(h1v, 0) + pf(th1, 0),
+                "h2": pt(h2v, 0) + pf(th2, 0),
+                "ph1": pt(ph1_ref[:], 0) + ps(h1v),
+                "ph2": pt(ph2_ref[:], 0) + ps(h2v),
+                "ll": jnp.where(
+                    slot_ok, jnp.where(sid < 0, -1, sid % np.int32(A)), 0
+                ),
+                "pll": pt(pll_ref[:], 0) + ps(llv),
+                "pr": pt(pr_ref[:], 0) + ps(tip_root_i),
+                "p1l": pt(tip_lab, np.float32(0)) + pf(m_ext_v, np.float32(0)),
+                "p1g": jnp.where(isf, NEG, pt(tip_gap, np.float32(0))),
+                "p2m": pt(p2m_ref[:], np.float32(0))
+                + pf(p2m_new, np.float32(0)),
+                "bo": jnp.where(isf, lo, pt(bo_v, 0)),
+                "be": jnp.where(isf, hi, pt(be_v, 0)),
+                "pbo": pt(pbo_ref[:], 0) + ps(bo_v),
+                "pbe": pt(pbe_ref[:], 0) + ps(be_v),
+                "src": jnp.where(slot_ok, jnp.where(isf, src_f, K), 0),
+                "isf": isf.astype(jnp.int32),
                 "ok": slot_ok,
-                "chosen_tip": chosen[:KP],
+                "chosen_tip": ch_t,
             }
             sel.append(vals)
             remaining = remaining & jnp.logical_not(chosen)
@@ -557,7 +573,7 @@ def _duplex_kernel(
             v_k = v_k | ((slot_kp == r) & sel[r]["ok"])
 
         new_id = stack_i("id")
-        new_fresh = stack_i("crow") >= KP
+        new_fresh = stack_i("isf") != 0
         ni = {n: stack_i(n) for n in
               ("h1", "h2", "ph1", "ph2", "ll", "pll", "pr",
                "bo", "be", "pbo", "pbe", "src")}
@@ -576,7 +592,7 @@ def _duplex_kernel(
         for r in range(K):
             rs = slice(r, r + 1)
             ct = sel[r]["chosen_tip"]  # (KP, Bt) over old tip rows
-            is_f = sel[r]["crow"] >= KP  # (1, Bt)
+            is_f = sel[r]["isf"] != 0  # (1, Bt)
             src_k = sel[r]["src"]  # (1, Bt)
             acc_l = jnp.full((1, W, Bt), NEG)
             acc_g = jnp.full((1, W, Bt), NEG)
