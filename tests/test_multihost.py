@@ -55,6 +55,48 @@ out, totals = decode_and_count(
 totals = jax.device_get(totals)
 assert int(totals[0]) == B and int(totals[1]) == 0, totals
 print("WORKER_OK", pid, totals.tolist(), jax.device_count())
+
+# duplex through the cached shard_map wrapper over the same 2-process mesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+from fast_ctc_decode_tpu.ops import duplex_fast
+from fast_ctc_decode_tpu.parallel import pipeline
+
+T1 = T2 = 12
+env_full = np.zeros((T1, 2), np.int64); env_full[:, 1] = T2
+ep = duplex_fast._prep_envelope_fast(env_full, T2)
+n1 = rng.rand(B, T1, A1).astype(np.float32)
+n1 /= np.linalg.norm(n1, ord=2, axis=-1, keepdims=True)
+n2 = rng.rand(B, T2, A1).astype(np.float32)
+n2 /= np.linalg.norm(n2, ord=2, axis=-1, keepdims=True)
+with np.errstate(divide="ignore"):
+    l1 = np.log(n1, dtype=np.float32); l2 = np.log(n2, dtype=np.float32)
+rg = np.full((B, ep.Wr), -np.inf, np.float32)
+rg[:, 0] = 0.0
+rg[:, 1:] = np.cumsum(l2[:, : ep.Wr - 1, 0], axis=1)
+
+def gput(x):
+    return jax.make_array_from_process_local_data(sharding, x[lo:hi], x.shape)
+
+rep = NamedSharding(mesh, P())
+
+def rput(x):
+    return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+fn = pipeline._duplex_fast_fn(
+    mesh, 5, True, float(np.float32("-inf")), ep.W, ep.Wr, ep.Wext,
+    bool(ep.needs_ext), False, bool(ep.static_window),
+    bool(ep.rel_window and not ep.static_window), int(ep.D), True,
+)
+dout = fn(
+    gput(l1), gput(l2), gput(rg),
+    rput(ep.lo.astype(np.int32)), rput(ep.hi.astype(np.int32)),
+    gput(np.zeros((B,), np.int32)), gput(np.full((B,), T1, np.int32)),
+)
+errs = np.concatenate(
+    [np.asarray(s.data).ravel() for s in dout["err"].addressable_shards]
+)
+assert (errs == 0).all(), errs
+print("DUPLEX_OK", pid)
 """
 
 
@@ -89,3 +131,4 @@ def test_two_process_decode_and_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
         assert f"WORKER_OK {i} [16, 0] 8" in out, out[-2000:]
+        assert f"DUPLEX_OK {i}" in out, out[-2000:]
