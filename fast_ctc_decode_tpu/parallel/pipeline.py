@@ -406,6 +406,116 @@ def decode_many(
         ckpt.close()
 
 
+def decode_many_duplex(
+    pairs: Sequence,
+    alphabet,
+    *,
+    beam_size: int = 5,
+    beam_cut_threshold: float = 0.0,
+    collapse_repeats: bool = True,
+    batch_size: int = 64,
+    mesh=None,
+    engine: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+) -> List[Tuple[str, int]]:
+    """Decode a long list of read pairs with checkpoint/resume — the
+    duplex analog of ``decode_many``.
+
+    ``pairs`` entries are ``(net1, net2)`` or ``(net1, net2, envelope)``
+    with per-pair ``[T1, 2]`` envelopes (None/omitted = full range).
+    Pairs are grouped into (T1, T2) power-of-two buckets — one compiled
+    decoder per bucket, ≤2x padding waste per axis.  Padding frames never
+    leak into a decode: read 1 rides per-pair ``lengths``, read 2 rides
+    the per-pair envelope (capped at the true T2).  Results
+    ``[(sequence, err_code)]`` return in input order; the JSONL
+    checkpoint (see utils/checkpoint.py) resumes a preempted run at
+    exactly the undecoded pairs.
+    """
+    from ..utils import profiling
+    from ..utils.checkpoint import DecodeCheckpoint
+
+    if not pairs:
+        return []
+    e1s = _auto_bucket_edges([p[0].shape[0] for p in pairs])
+    e2s = _auto_bucket_edges([p[1].shape[0] for p in pairs])
+
+    def edge_for(T, edges):
+        return next(e for e in edges if e >= T)
+
+    meta = {
+        "duplex": True,
+        "bucket_edges": [e1s, e2s],
+        "beam_size": int(beam_size),
+        "beam_cut_threshold": float(beam_cut_threshold),
+        "collapse_repeats": bool(collapse_repeats),
+        "engine": engine,
+    }
+    ckpt = DecodeCheckpoint.load_or_create(checkpoint_path, meta)
+    try:
+        if ckpt.cursor >= len(pairs):
+            return [(s, e) for s, _, e in ckpt.results_in_order(len(pairs))]
+
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i, p in enumerate(pairs):
+            key = (
+                edge_for(p[0].shape[0], e1s), edge_for(p[1].shape[0], e2s)
+            )
+            buckets.setdefault(key, []).append(i)
+
+        A1 = pairs[0][0].shape[1]
+        for (edge1, edge2), idxs in sorted(buckets.items()):
+            todo = [i for i in idxs if i not in ckpt.done]
+            if not todo:
+                continue
+            dec = BatchDuplexDecoder(
+                alphabet,
+                T1=edge1,
+                T2=edge2,
+                beam_size=beam_size,
+                beam_cut_threshold=beam_cut_threshold,
+                collapse_repeats=collapse_repeats,
+                mesh=mesh,
+                engine=engine,
+            )
+            n_dev = len(dec.mesh.devices.reshape(-1))
+            bs = max(batch_size - batch_size % n_dev, n_dev)
+            profiling.log.info(
+                "decode_many_duplex: bucket T1<=%d T2<=%d, %d pairs, "
+                "batch=%d", edge1, edge2, len(todo), bs,
+            )
+            for s in range(0, len(todo), bs):
+                chunk = todo[s : s + bs]
+                n = len(chunk)
+                with profiling.stage("decode_many_duplex.pad"):
+                    n1 = np.zeros((n, edge1, A1), np.float32)
+                    n2 = np.zeros((n, edge2, A1), np.float32)
+                    envs = np.zeros((n, edge1, 2), np.int64)
+                    lengths = np.zeros((n,), np.int32)
+                    for j, i in enumerate(chunk):
+                        p = pairs[i]
+                        len1, len2 = p[0].shape[0], p[1].shape[0]
+                        n1[j, :len1] = p[0]
+                        n2[j, :len2] = p[1]
+                        lengths[j] = len1
+                        env = p[2] if len(p) > 2 else None
+                        if env is None:
+                            envs[j, :, 1] = len2  # full range of read 2
+                        else:
+                            env = np.asarray(env)
+                            envs[j, :len1] = env
+                            # rows past len1 are masked by `lengths`, but
+                            # must stay monotone-valid: repeat the last row
+                            envs[j, len1:] = env[len1 - 1 : len1]
+                res = dec.decode(n1, n2, envelopes=envs, lengths=lengths)[:n]
+                with profiling.stage("decode_many_duplex.checkpoint"):
+                    # checkpoint rows are (seq, path, err); duplex has no
+                    # path (reference contract), stored as []
+                    ckpt.record(chunk, [(sq, [], er) for sq, er in res])
+        return [(s, e) for s, _, e in ckpt.results_in_order(len(pairs))]
+    finally:
+        ckpt.close()
+
+
 class BatchCrfBeamDecoder:
     """Batched, mesh-sharded CRF prefix beam search.
 

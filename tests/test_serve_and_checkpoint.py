@@ -451,3 +451,64 @@ class TestMicroBatch:
                 assert outs[i]["seq"] == seq
         finally:
             serve.disable_microbatching()
+
+
+class TestDecodeManyDuplex:
+    def _pairs(self, sizes, seed=0):
+        out = []
+        for j, (t1, t2) in enumerate(sizes):
+            out.append(
+                (rand_read(t1, 5, seed + 2 * j), rand_read(t2, 5, seed + 2 * j + 1))
+            )
+        return out
+
+    def test_matches_single_pair_api(self):
+        from fast_ctc_decode_tpu import beam_search_duplex
+        from fast_ctc_decode_tpu.parallel.pipeline import decode_many_duplex
+
+        pairs = self._pairs([(20, 24), (150, 140), (18, 18), (20, 20)])
+        res = decode_many_duplex(pairs, "NACGT", batch_size=8)
+        assert len(res) == len(pairs)
+        for (n1, n2), (seq, err) in zip(pairs, res):
+            assert err == 0
+            assert seq == beam_search_duplex(n1, n2, "NACGT")
+
+    def test_resume_skips_decoded_pairs(self, tmp_path, monkeypatch):
+        from fast_ctc_decode_tpu.parallel import pipeline
+
+        pairs = self._pairs([(16, 16)] * 6, seed=50)
+        ck = str(tmp_path / "dup.ckpt.jsonl")
+        first = pipeline.decode_many_duplex(
+            pairs, "NACGT", batch_size=4, checkpoint_path=ck
+        )
+        # a fresh run over the same checkpoint must not decode anything
+        calls = []
+        orig = pipeline.BatchDuplexDecoder.decode
+
+        def spy(self, *a, **k):
+            calls.append(1)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(pipeline.BatchDuplexDecoder, "decode", spy)
+        again = pipeline.decode_many_duplex(
+            pairs, "NACGT", batch_size=4, checkpoint_path=ck
+        )
+        assert again == first
+        assert not calls
+
+    def test_envelope_pairs_roundtrip(self):
+        import numpy as np
+
+        from fast_ctc_decode_tpu import beam_search_duplex
+        from fast_ctc_decode_tpu.parallel.pipeline import decode_many_duplex
+
+        t1, t2 = 20, 22
+        env = np.zeros((t1, 2), np.int64)
+        env[:, 0] = 0
+        env[:, 1] = t2  # constant window expressed as an explicit envelope
+        n1 = rand_read(t1, 5, 70)
+        n2 = rand_read(t2, 5, 71)
+        res = decode_many_duplex([(n1, n2, env), (n1, n2)], "NACGT")
+        want = beam_search_duplex(n1, n2, "NACGT", envelope=env)
+        assert res[0] == (want, 0)
+        assert res[1] == (want, 0)
