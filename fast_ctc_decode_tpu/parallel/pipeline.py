@@ -406,6 +406,82 @@ def decode_many(
         ckpt.close()
 
 
+def decode_many_crf(
+    reads: Sequence,
+    alphabet,
+    *,
+    beam_size: int = 5,
+    beam_cut_threshold: float = 0.0,
+    batch_size: int = 256,
+    mesh=None,
+    engine: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+) -> List[Tuple[str, List[int], int]]:
+    """Checkpointable streaming CRF decode — decode_many for the CRF
+    family.  ``reads`` entries are ``(posteriors [T, S, A+1],
+    init_state [S])``; variable T rides power-of-two buckets (padded
+    frames are masked by per-read lengths).  Returns
+    ``[(sequence, path, err_code)]`` in input order."""
+    from ..utils import profiling
+    from ..utils.checkpoint import DecodeCheckpoint
+
+    if not reads:
+        return []
+    edges = _auto_bucket_edges([r[0].shape[0] for r in reads])
+    S = reads[0][0].shape[1]
+    meta = {
+        "crf": True,
+        "bucket_edges": edges,
+        "n_state": int(S),
+        "beam_size": int(beam_size),
+        "beam_cut_threshold": float(beam_cut_threshold),
+        "engine": engine,
+    }
+    ckpt = DecodeCheckpoint.load_or_create(checkpoint_path, meta)
+    try:
+        if ckpt.cursor >= len(reads):
+            return ckpt.results_in_order(len(reads))
+
+        buckets: Dict[int, List[int]] = {}
+        for i, r in enumerate(reads):
+            e = next(e for e in edges if e >= r[0].shape[0])
+            buckets.setdefault(e, []).append(i)
+
+        A1 = reads[0][0].shape[2]
+        for edge, idxs in sorted(buckets.items()):
+            todo = [i for i in idxs if i not in ckpt.done]
+            if not todo:
+                continue
+            dec = BatchCrfBeamDecoder(
+                alphabet, T=edge, n_state=S, beam_size=beam_size,
+                beam_cut_threshold=beam_cut_threshold, mesh=mesh,
+                engine=engine,
+            )
+            n_dev = len(dec.mesh.devices.reshape(-1))
+            bs = max(batch_size - batch_size % n_dev, n_dev)
+            profiling.log.info(
+                "decode_many_crf: bucket T<=%d, %d reads, batch=%d",
+                edge, len(todo), bs,
+            )
+            for s in range(0, len(todo), bs):
+                chunk = todo[s : s + bs]
+                n = len(chunk)
+                probs = np.zeros((bs, edge, S, A1), np.float32)
+                inits = np.zeros((bs, S), np.float32)
+                inits[:, 0] = 1.0  # padding rows decode empty (length 0)
+                lengths = np.zeros((bs,), np.int32)
+                for j, i in enumerate(chunk):
+                    p, st = reads[i][0], reads[i][1]
+                    probs[j, : p.shape[0]] = p
+                    inits[j] = st
+                    lengths[j] = p.shape[0]
+                res = dec.decode(probs, inits, lengths)[:n]
+                ckpt.record(chunk, res)
+        return ckpt.results_in_order(len(reads))
+    finally:
+        ckpt.close()
+
+
 def decode_many_duplex(
     pairs: Sequence,
     alphabet,

@@ -512,3 +512,39 @@ class TestDecodeManyDuplex:
         want = beam_search_duplex(n1, n2, "NACGT", envelope=env)
         assert res[0] == (want, 0)
         assert res[1] == (want, 0)
+
+
+class TestDecodeManyCrf:
+    def _reads(self, lens, S=8, seed=0):
+        rng = np.random.RandomState(seed)
+        out = []
+        for t in lens:
+            p = rng.rand(t, S, 5).astype(np.float32)
+            p /= p.sum(-1, keepdims=True)
+            st = rng.rand(S).astype(np.float32)
+            out.append((p, st))
+        return out
+
+    def test_matches_single_read_api(self):
+        from fast_ctc_decode_tpu import crf_beam_search
+        from fast_ctc_decode_tpu.parallel.pipeline import decode_many_crf
+
+        reads = self._reads([20, 150, 18, 20])
+        res = decode_many_crf(reads, "NACGT", batch_size=8)
+        assert len(res) == len(reads)
+        for (p, st), (seq, path, err) in zip(reads, res):
+            assert err == 0
+            want_seq, want_path = crf_beam_search(
+                p, st, "NACGT", engine="fast"
+            )
+            assert seq == want_seq
+            assert path == want_path
+
+    def test_resume(self, tmp_path):
+        from fast_ctc_decode_tpu.parallel.pipeline import decode_many_crf
+
+        reads = self._reads([16] * 5, seed=9)
+        ck = str(tmp_path / "crf.ckpt.jsonl")
+        first = decode_many_crf(reads, "NACGT", checkpoint_path=ck)
+        again = decode_many_crf(reads, "NACGT", checkpoint_path=ck)
+        assert [tuple(r) for r in again] == [tuple(r) for r in first]
