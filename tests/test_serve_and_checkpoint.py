@@ -548,3 +548,75 @@ class TestDecodeManyCrf:
         first = decode_many_crf(reads, "NACGT", checkpoint_path=ck)
         again = decode_many_crf(reads, "NACGT", checkpoint_path=ck)
         assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+
+class TestHttpEndToEnd:
+    def test_http_server_microbatch_roundtrip(self):
+        import http.client
+        import socket
+        import threading
+        import time as _time
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from fast_ctc_decode_tpu import serve
+
+        # build the server exactly like serve_http, but on a free port and
+        # shut down cleanly from the test
+        serve.enable_microbatching(max_wait_ms=150.0)
+        try:
+            class Handler(BaseHTTPRequestHandler):
+                def do_POST(self):
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length).decode("utf-8")
+                    out, code = serve.handle_json(body)
+                    data = out.encode("utf-8")
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+
+                def log_message(self, *a):
+                    pass
+
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+            try:
+                reads = [rand_read(20, 5, 200 + i) for i in range(4)]
+                results = [None] * 4
+
+                def post(i):
+                    conn = http.client.HTTPConnection("127.0.0.1", port)
+                    body = json.dumps({
+                        "method": "beam_search",
+                        "posteriors": reads[i].reshape(-1).tolist(),
+                        "shape": [20, 5],
+                        "alphabet": "NACGT",
+                        "beam_size": 5,
+                        "beam_cut_threshold": 0.1,
+                    })
+                    conn.request("POST", "/", body)
+                    r = conn.getresponse()
+                    results[i] = (r.status, json.loads(r.read()))
+                    conn.close()
+
+                threads = [
+                    threading.Thread(target=post, args=(i,)) for i in range(4)
+                ]
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join(timeout=120)
+                for i, x in enumerate(reads):
+                    status, out = results[i]
+                    assert status == 200
+                    seq, _ = beam_search(x, "NACGT", 5, 0.1)
+                    assert out["seq"] == seq
+            finally:
+                httpd.shutdown()
+        finally:
+            serve.disable_microbatching()
