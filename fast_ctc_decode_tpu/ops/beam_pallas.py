@@ -72,24 +72,6 @@ def _mix2_i32(h, lbl):
     return _mix_i32(h, lbl, 0x27D4EB2F, 0x9E3779B1)
 
 
-def _mix_dyn(h, lbl, mult_u, add_u):
-    # dynamic-label variant, bit-identical to _mix_i32 for lbl >= 0:
-    # int32 wrapping arithmetic == the uint32 fold the static path does
-    mult = _u(mult_u)
-    c = lbl * mult + _u(add_u)
-    z = h ^ c
-    z = z * mult
-    return z ^ jax.lax.shift_right_logical(z, np.int32(16))
-
-
-def _mix1_dyn(h, lbl):
-    return _mix_dyn(h, lbl, 0xC2B2AE35, 0x165667B1)
-
-
-def _mix2_dyn(h, lbl):
-    return _mix_dyn(h, lbl, 0x27D4EB2F, 0x9E3779B1)
-
-
 def _beam_kernel(
     thr_ref,  # SMEM (1, 1) f32
     probs_ref,  # VMEM (TB, A1, Bt) f32
@@ -265,28 +247,14 @@ def _beam_kernel(
 
         # ---- top-K selection: K rounds of (max, tie -> min id) ----
         # The min-id pass materializes the chosen id, and the
-        # position-coded id (t*K*A + k*A + a) carries everything a FRESH
-        # winner needs: its tip k = (id // A) % K and label a = id % A,
-        # so lab = (is_rep ? gap_k : lg_k) * p[a] and h1/h2 = mix(h_k, a)
-        # are recomputed from K+A cheap (1, Bt) selects — the exact ops
-        # that built the candidate planes, hence bit-identical — instead
-        # of masked reductions over the (KAP, Bt) fresh region per round.
-        # Tip winners (ids from earlier steps, always < t*K*A) keep the
-        # one-vreg masked-sum picks over the 8 tip rows.
-        def from_tips(arrs, k_sel):
-            outs = [jnp.zeros_like(a[0:1, :]) for a in arrs]
-            for k in range(K):
-                hitk = k_sel == k
-                outs = [
-                    jnp.where(hitk, a[k : k + 1, :], o)
-                    for a, o in zip(arrs, outs)
-                ]
-            return outs
-
+        # position-coded id (t*K*A + k*A + a) carries the last label in
+        # its low bits (root id -1 -> -1).  Field picks are split by
+        # region (tips 0..KP-1, fresh KP..) — the chosen row lives in
+        # exactly one, so the field is the sum of two disjoint masked
+        # reductions (and gap needs only the tip region: fresh gap = 0).
         sel_rows = []  # per round: (valid, [lab, gap, id, h1, h2, lastlab])
         top = None
         key = c_key
-        fresh_lo = t * KA  # fresh ids this step are >= t*K*A
         for _ in range(K):
             mx = jnp.max(key, axis=0, keepdims=True)
             slot_valid = mx > NEG_INF
@@ -296,34 +264,28 @@ def _beam_kernel(
             )
             chosen = at & (c_id == sid)
             ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
 
             def pick_t(arr, z):
                 return jnp.sum(
                     jnp.where(ch_t, arr, z), axis=0, keepdims=True
                 )
 
-            is_fresh = sid >= fresh_lo
+            def pick_f(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
+                )
+
             sel_id = jnp.where(slot_valid, sid, -2)
             sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
-            k_sel = jax.lax.div(sid, np.int32(A)) % np.int32(K)
-            gap_k, lg_k, ll_k, h1_k, h2_k = from_tips(
-                [gap, lg, lastlab, h1, h2], k_sel
-            )
-            plab_a = jnp.zeros_like(p0)
-            for a in range(A):
-                plab_a = jnp.where(sel_ll == a, row[1 + a : 2 + a, :], plab_a)
-            if collapse:
-                base_k = jnp.where(ll_k == sel_ll, gap_k, lg_k)
-            else:
-                base_k = lg_k
-            sel_lab = jnp.where(is_fresh, base_k * plab_a, pick_t(tip_lab, 0.0))
-            sel_gap = jnp.where(is_fresh, 0.0, pick_t(tip_gap, 0.0))
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(m_ext_v, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
             acc = [
                 sel_lab,
                 sel_gap,
                 sel_id,
-                jnp.where(is_fresh, _mix1_dyn(h1_k, sel_ll), pick_t(h1, 0)),
-                jnp.where(is_fresh, _mix2_dyn(h2_k, sel_ll), pick_t(h2, 0)),
+                pick_t(h1, 0) + pick_f(th1, 0),
+                pick_t(h2, 0) + pick_f(th2, 0),
                 sel_ll,
             ]
             if top is None:
@@ -630,6 +592,13 @@ def _crf_beam_kernel(
         tip_gap = blank_gap
         tip_valid = blank_push | recv_any
 
+        new_state = [
+            ((state * np.int32(A)) % np.int32(S) + np.int32(a)).astype(
+                jnp.int32
+            )
+            for a in range(A)
+        ]
+
         def key_of(v, tot):
             return jnp.where(
                 v, jnp.where(jnp.isnan(tot), POS_INF, tot + 0.0), NEG_INF
@@ -643,12 +612,16 @@ def _crf_beam_kernel(
 
         fvs = [push_ext[a] & ~matched[a] & in_beam for a in range(A)]
         m_ext_v = [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)]
+        fresh_lab = jnp.concatenate(m_ext_v, axis=0)  # (KP*A, Bt)
         c_key = catk(
             key_of(tip_valid, tip_tot),
             [key_of(fvs[a], m_ext_v[a]) for a in range(A)],
         )
         fresh_k_id = slot * np.int32(A)
         c_id = catk(idv, [base_id + fresh_k_id + np.int32(a) for a in range(A)])
+        fresh_h1 = jnp.concatenate(th1, axis=0)
+        fresh_h2 = jnp.concatenate(th2, axis=0)
+        fresh_st = jnp.concatenate(new_state, axis=0)
 
         # per-region NaN flags — no concatenated tot plane needed
         c_valid = c_key > NEG_INF
@@ -665,23 +638,10 @@ def _crf_beam_kernel(
         nan_flag = (cnt >= 2) & (nanv != 0)
         empty_flag = cnt == 0
 
-        # id comes from the min-id pass, and a FRESH winner's id encodes
-        # its (tip k, label a) = ((id // A) % K, id % A): lab, h1/h2, and
-        # the CRF state are recomputed from K+A cheap (1, Bt) selects —
-        # the exact ops that built the candidate planes, so bit-identical
-        # — instead of masked reductions over the (KP*A, Bt) fresh planes
-        # per round (which are no longer even materialized).  Tip winners
-        # (ids < t*K*A) keep the one-vreg tip-region picks.
-        def from_tips(arrs, k_sel):
-            outs = [jnp.zeros_like(arr[0:1, :]) for arr in arrs]
-            for k in range(K):
-                hitk = k_sel == k
-                outs = [
-                    jnp.where(hitk, arr[k : k + 1, :], o)
-                    for arr, o in zip(arrs, outs)
-                ]
-            return outs
-
+        # id comes from the min-id pass and lastlab from the id's low bits
+        # (see the plain kernel); the CRF state stays a pick (a tip's id
+        # does not encode its slot).  Field picks split by region as in
+        # the plain kernel (fresh gap = 0, so gap reduces tips only).
         sel_rows = []
         top = None
         key = c_key
@@ -692,33 +652,23 @@ def _crf_beam_kernel(
             sid = jnp.min(jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True)
             chosen = at & (c_id == sid)
             ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
 
             def pick_t(arr, z):
                 return jnp.sum(jnp.where(ch_t, arr, z), axis=0, keepdims=True)
 
-            is_fresh = sid >= base_id
-            sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
-            k_sel = jax.lax.div(sid, np.int32(A)) % np.int32(K)
-            lg_k, st_k, h1_k, h2_k = from_tips([lg, state, h1, h2], k_sel)
-            pla_k = jnp.zeros((1, Bt), jnp.float32)
-            for k in range(K):
-                hitk = k_sel == k
-                for a in range(A):
-                    pla_k = jnp.where(
-                        hitk & (sel_ll == a), pl_rows[k][a], pla_k
-                    )
-            sel_lab = jnp.where(is_fresh, lg_k * pla_k, pick_t(tip_lab, 0.0))
-            sel_gap = jnp.where(is_fresh, 0.0, pick_t(tip_gap, 0.0))
-            fr_st = ((st_k * np.int32(A)) % np.int32(S) + sel_ll).astype(
-                jnp.int32
-            )
+            def pick_f(arr, z):
+                return jnp.sum(jnp.where(ch_f, arr, z), axis=0, keepdims=True)
+
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(fresh_lab, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
             acc = [
                 sel_lab, sel_gap,
                 jnp.where(slot_valid, sid, -2),
-                jnp.where(is_fresh, _mix1_dyn(h1_k, sel_ll), pick_t(h1, 0)),
-                jnp.where(is_fresh, _mix2_dyn(h2_k, sel_ll), pick_t(h2, 0)),
-                sel_ll,
-                jnp.where(is_fresh, fr_st, pick_t(state, 0)),
+                pick_t(h1, 0) + pick_f(fresh_h1, 0),
+                pick_t(h2, 0) + pick_f(fresh_h2, 0),
+                jnp.where(sid < 0, -1, sid % np.int32(A)),
+                pick_t(state, 0) + pick_f(fresh_st, 0),
             ]
             if top is None:
                 top = sel_lab + sel_gap
