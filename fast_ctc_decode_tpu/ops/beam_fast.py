@@ -585,9 +585,19 @@ def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
     B=4096).  This version exploits that parents have strictly smaller
     creation steps than children: ONE backward scan over t visits every
     chain node in leaf-to-root order.  Per step the parent read is a
-    K-way one-hot select over the step's tip ids (no gather), emits land
-    in a [B, T] column buffer, and a final stable sort compacts them to
-    the ``_traceback_positional`` output contract bit-for-bit.
+    K-way one-hot select over the step's tip ids (no gather) and the
+    step's emit is the scan's stacked ``ys`` row — contiguous [T, B]
+    writes; the round-3 version wrote [B, 1] columns into a [B, T] carry
+    via dynamic_update_slice, a strided-HBM pattern that alone cost
+    ~28 ms of the 138 ms headline batch.
+
+    Compaction packs (no-emit flag, scan step i, label+1) into ONE i32
+    key per cell — the scan visits t descending, so ascending-key order
+    is exactly "emits leaf-first, gaps last" — and runs a single-operand
+    unstable sort (keys are unique: i is); the previous 3-operand stable
+    sort was ~27 ms at B=32768, ~2.5x this one.  Labels and times are
+    recovered from the key bits (time = T-1-i), so the result is
+    bit-identical to the buffer-and-stable-sort form.
 
     Args:
       fin: [B] i32 final beam-head ids.
@@ -601,8 +611,7 @@ def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
     B = fin.shape[0]
     KA = np.int32(K * A)
 
-    def step(st, xs):
-        cur, labs_buf, times_buf = st
+    def step(cur, xs):
         ids_t, t = xs  # [KP, B] or [B, K], scalar
         ok = cur >= 0
         safe = jnp.maximum(cur, 0)
@@ -616,32 +625,33 @@ def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
             tip = ids_t[kk] if tips_major else ids_t[:, kk]
             par = jnp.where(k == kk, tip, par)
         cur = jnp.where(hit, par, cur)
-        lab = jnp.where(hit, a, -1)
-        tv = jnp.where(hit, t, -1)
-        labs_buf = jax.lax.dynamic_update_slice(
-            labs_buf, lab[:, None], (0, t)
-        )
-        times_buf = jax.lax.dynamic_update_slice(
-            times_buf, tv[:, None], (0, t)
-        )
-        return (cur, labs_buf, times_buf), None
+        lab1 = jnp.where(hit, a + 1, 0)  # 0 = no emit
+        return cur, lab1
 
-    neg = jnp.full((B, T), -1, jnp.int32)
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    (cur, labs_buf, times_buf), _ = jax.lax.scan(
-        step,
-        (fin.astype(jnp.int32), neg, neg),
-        (ids_log[::-1], ts),
-    )
-    # compact emits to the front in descending-t (leaf-first) order: the
-    # buffers are t-indexed (ascending), so flip the t axis first, then a
-    # stable sort on the no-emit flag preserves that order
-    labs_buf = labs_buf[:, ::-1]
-    times_buf = times_buf[:, ::-1]
-    k1 = (labs_buf < 0).astype(jnp.int32)
-    _, labels_rev, times_rev = jax.lax.sort(
-        (k1, labs_buf, times_buf), dimension=-1, is_stable=True, num_keys=1
-    )
+    _, lab1 = jax.lax.scan(
+        step, fin.astype(jnp.int32), (ids_log[::-1], ts)
+    )  # lab1: [T, B], row i is t = T-1-i (descending t = leaf-first)
+
+    lab_bits = max(int(A).bit_length(), 1)  # holds lab+1 in [0, A]
+    t_bits = max(int(max(T, 1) - 1).bit_length(), 1)
+    if lab_bits + t_bits <= 30:
+        i_col = jnp.arange(T, dtype=jnp.int32)[:, None] << lab_bits
+        gap = jnp.int32(1) << (lab_bits + t_bits)
+        key = jnp.where(lab1 == 0, gap, 0) | i_col | lab1
+        key = jax.lax.sort(key.T, dimension=-1, is_stable=False)
+        valid = key < gap
+        labels_rev = jnp.where(valid, (key & ((1 << lab_bits) - 1)) - 1, -1)
+        i_of = (key >> lab_bits) & ((1 << t_bits) - 1)
+        times_rev = jnp.where(valid, np.int32(T - 1) - i_of, -1)
+    else:  # T too long for the packed key: 3-operand stable sort
+        i_col = jnp.arange(T, dtype=jnp.int32)[:, None]
+        labs = jnp.where(lab1 == 0, -1, lab1 - 1).T
+        tvs = jnp.where(lab1 == 0, -1, np.int32(T - 1) - i_col).T
+        k1 = (labs < 0).astype(jnp.int32)
+        _, labels_rev, times_rev = jax.lax.sort(
+            (k1, labs, tvs), dimension=-1, is_stable=True, num_keys=1
+        )
     count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
     return labels_rev, times_rev, count
 
