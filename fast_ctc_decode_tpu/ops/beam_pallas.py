@@ -331,9 +331,20 @@ def _beam_kernel(
     err_out_ref[:] = er_ref[:]
 
 
+# Experiment hook: beam_search_pallas_batch(version=N) dispatches here so
+# tools/ab_bench.py can bit-parity-check and time kernel variants against
+# the default.  (Round 5 tried an a-major candidate-plane variant — aligned
+# sublane concats instead of K-way selects for the expansion — and measured
+# it ~5% SLOWER than the k-major kernel at B=4096..32768; see PERF.md.)
+_KERNEL_VARIANTS = {1: _beam_kernel}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_size", "collapse_repeats", "block_t", "block_b", "interpret"),
+    static_argnames=(
+        "beam_size", "collapse_repeats", "block_t", "block_b", "interpret",
+        "raw", "version",
+    ),
 )
 def beam_search_pallas_batch(
     probs: jnp.ndarray,  # [B, T, A+1] f32
@@ -345,6 +356,8 @@ def beam_search_pallas_batch(
     block_t: int = 32,
     block_b: int = 256,
     interpret: bool = False,
+    raw: bool = False,
+    version: int = 1,
 ):
     """Fused-kernel batched beam search; beam_fast output contract."""
     B, T, A1 = probs.shape
@@ -371,7 +384,8 @@ def beam_search_pallas_batch(
 
     grid = (Bp // Bt, Tp // TB)
     kernel = functools.partial(
-        _beam_kernel, K=K, KP=KP, A=A, TB=TB, collapse=collapse_repeats
+        _KERNEL_VARIANTS[version],
+        K=K, KP=KP, A=A, TB=TB, collapse=collapse_repeats,
     )
     ids_log, fin, err = pl.pallas_call(
         kernel,
@@ -406,6 +420,9 @@ def beam_search_pallas_batch(
         ],
         interpret=interpret,
     )(thr, probs_t, lens_p)
+
+    if raw:  # kernel outputs only (stage timing / custom tracebacks)
+        return {"ids_log": ids_log, "fin": fin, "err": err[0, :B]}
 
     # gather-free batched traceback directly over the kernel's id-log
     # layout (see _traceback_scan_batch — the vmapped pointer walk was 48
