@@ -633,17 +633,12 @@ def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
         step, fin.astype(jnp.int32), (ids_log[::-1], ts)
     )  # lab1: [T, B], row i is t = T-1-i (descending t = leaf-first)
 
-    lab_bits = max(int(A).bit_length(), 1)  # holds lab+1 in [0, A]
-    t_bits = max(int(max(T, 1) - 1).bit_length(), 1)
+    lab_bits, t_bits = _key_bits(T, A)
     if lab_bits + t_bits <= 30:
         i_col = jnp.arange(T, dtype=jnp.int32)[:, None] << lab_bits
         gap = jnp.int32(1) << (lab_bits + t_bits)
         key = jnp.where(lab1 == 0, gap, 0) | i_col | lab1
-        key = jax.lax.sort(key.T, dimension=-1, is_stable=False)
-        valid = key < gap
-        labels_rev = jnp.where(valid, (key & ((1 << lab_bits) - 1)) - 1, -1)
-        i_of = (key >> lab_bits) & ((1 << t_bits) - 1)
-        times_rev = jnp.where(valid, np.int32(T - 1) - i_of, -1)
+        labels_rev, times_rev = _sort_unpack_keys(key.T, T, lab_bits, t_bits)
     else:  # T too long for the packed key: 3-operand stable sort
         i_col = jnp.arange(T, dtype=jnp.int32)[:, None]
         labs = jnp.where(lab1 == 0, -1, lab1 - 1).T
@@ -659,3 +654,27 @@ def _traceback_scan_batch(fin, ids_log, T, K, A, *, tips_major=True):
 def _traceback_scan_batch_tbk(fin, ids_log_tbk, T, K, A):
     """_traceback_scan_batch for the scan engines' [T, B, K] id-log layout."""
     return _traceback_scan_batch(fin, ids_log_tbk, T, K, A, tips_major=False)
+
+
+def _key_bits(T, A):
+    """(lab_bits, t_bits) of the packed compaction key (see above)."""
+    lab_bits = max(int(A).bit_length(), 1)  # holds lab+1 in [0, A]
+    t_bits = max(int(max(T, 1) - 1).bit_length(), 1)
+    return lab_bits, t_bits
+
+
+def _sort_unpack_keys(key_bt, T, lab_bits, t_bits):
+    """Sort [B, T] packed keys and unpack (labels_rev, times_rev).
+
+    Key layout (built by _traceback_scan_batch's scan or the Pallas
+    traceback kernel): ``no_emit_gap | (i << lab_bits) | (label + 1)``
+    with i the backward scan step (t = T - 1 - i), so ascending order is
+    emits leaf-first, padding last.  Keys are unique per row (i is).
+    """
+    gap = jnp.int32(1) << (lab_bits + t_bits)
+    key = jax.lax.sort(key_bt, dimension=-1, is_stable=False)
+    valid = key < gap
+    labels_rev = jnp.where(valid, (key & ((1 << lab_bits) - 1)) - 1, -1)
+    i_of = (key >> lab_bits) & ((1 << t_bits) - 1)
+    times_rev = jnp.where(valid, np.int32(T - 1) - i_of, -1)
+    return labels_rev, times_rev

@@ -339,11 +339,177 @@ def _beam_kernel(
 _KERNEL_VARIANTS = {1: _beam_kernel}
 
 
+def _traceback_kernel(
+    fin_ref,  # VMEM (1, Bt) i32
+    ids_ref,  # VMEM (TB, KP, Bt) i32
+    key_ref,  # out VMEM (TB, Bt) i32 — packed keys
+    cur_ref,  # scratch (1, Bt) i32
+    *,
+    K: int,
+    A: int,
+    T: int,
+    TB: int,
+    JT: int,
+    lab_bits: int,
+    gap: int,
+):
+    """Backward parent walk over the id log, fused (beam_fast
+    _traceback_scan_batch semantics — see its docstring for why one
+    backward sweep visits every chain node).
+
+    The XLA scan form pays ~10 us of per-step dispatch for ~15 vector ops
+    on [B]-wide rows; here the whole walk is one kernel bound by streaming
+    the [T, KP, B] id log (~1 GB at the headline shape).  The packed
+    compaction key (no-emit flag | backward-step | label+1, see
+    beam_fast._sort_unpack_keys) is built in-register; the [T, B] key
+    plane then takes ONE cheap large-minor-dim XLA transpose to the
+    [B, T] layout lax.sort wants.  (Emitting transposed (Bt, TB) tiles
+    from the kernel is illegal below 128 lanes, and TB=128 would force
+    the forward kernel's T padding up with a 1 GB copy.)
+
+    Grid = (B/Bt, T/TB) with the T axis walked in REVERSE via the index
+    maps (block j reads time block JT-1-j); cur persists in scratch.
+    Padded steps t >= T can never match a live id's creation step (ids
+    are only allocated at active steps), so they emit no-op keys that the
+    caller never reads (it slices [:, :T]... they land at i = T-1-t < 0,
+    i.e. negative keys, sorted first — sliced region [:T] is unaffected
+    because every real key is non-negative and there are T of them).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        cur_ref[:] = fin_ref[:]
+
+    KA = np.int32(K * A)
+
+    def step(n, _):
+        jt = TB - 1 - n  # walk this block's steps newest-first
+        t = (JT - 1 - j) * TB + jt
+        cur = cur_ref[:]
+        ok = cur >= 0
+        safe = jnp.maximum(cur, 0)
+        tt = safe // KA
+        r = safe % KA
+        k = r // np.int32(A)
+        a = r % np.int32(A)
+        hit = ok & (tt == t)
+        ids_t = ids_ref[jt]  # (KP, Bt)
+        par = jnp.full_like(cur, -2)
+        for kk in range(K):
+            par = jnp.where(k == kk, ids_t[kk : kk + 1, :], par)
+        cur_ref[:] = jnp.where(hit, par, cur)
+        lab1 = jnp.where(hit, a + 1, 0)
+        i = np.int32(T - 1) - t
+        key = (
+            jnp.where(lab1 == 0, np.int32(gap), 0)
+            | (i << np.int32(lab_bits))
+            | lab1
+        )
+        key_ref[pl.ds(jt, 1), :] = key
+        return 0
+
+    jax.lax.fori_loop(0, TB, step, 0, unroll=TB if TB <= 8 else 1)
+
+
+def _traceback_pallas_keys(
+    fin_p,  # [1, Bp] i32 (padded)
+    ids_p,  # [Tp, KP, Bp] i32 (padded; Tp % TB == 0, Bp % Bt == 0)
+    *,
+    T: int,
+    K: int,
+    A: int,
+    TB: int,
+    Bt: int,
+    interpret: bool = False,
+):
+    """Run the fused backward walk; returns packed keys [Bp, Tp]."""
+    from .beam_fast import _key_bits
+
+    Tp, KP, Bp = ids_p.shape
+    JT = Tp // TB
+    lab_bits, t_bits = _key_bits(T, A)
+    gap = 1 << (lab_bits + t_bits)
+    kernel = functools.partial(
+        _traceback_kernel,
+        K=K, A=A, T=T, TB=TB, JT=JT, lab_bits=lab_bits, gap=gap,
+    )
+    key_tb = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(Bp // Bt, JT),
+            in_specs=[
+                pl.BlockSpec((1, Bt), lambda i, j: (0, i)),
+                pl.BlockSpec(
+                    (TB, KP, Bt), lambda i, j, JT=JT: (JT - 1 - j, 0, i)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TB, Bt), lambda i, j, JT=JT: (JT - 1 - j, i)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, Bt), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int32),
+        interpret=interpret,
+    )(fin_p, ids_p)
+    return key_tb.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "K", "A", "block_t", "block_b", "interpret")
+)
+def traceback_pallas_batch(
+    fin,  # [B] i32 final beam-head ids
+    ids_log,  # [>=T, KP, B] i32 (tips-major kernel layout)
+    *,
+    T: int,
+    K: int,
+    A: int,
+    block_t: int = 32,
+    block_b: int = 256,
+    interpret: bool = False,
+):
+    """Fused traceback: returns (labels_rev [B, T], times_rev, count).
+
+    Bit-identical to beam_fast._traceback_scan_batch (property-tested);
+    requires the packed-key range to fit (T and A bounded so
+    lab_bits + t_bits <= 30 — callers fall back to the scan form beyond).
+    """
+    from .beam_fast import _key_bits, _sort_unpack_keys
+
+    B = fin.shape[0]
+    T0 = ids_log.shape[0]
+    lab_bits, t_bits = _key_bits(T, A)
+    TB = min(block_t, max(T, 1))
+    Bt = min(block_b, max(B, 1))
+    Tp = -(-T // TB) * TB
+    Bp = -(-B // Bt) * Bt
+    ids_p = ids_log
+    if T0 != Tp or ids_log.shape[2] != Bp:
+        ids_p = jnp.pad(
+            ids_log[:Tp],
+            ((0, max(0, Tp - T0)), (0, 0), (0, Bp - ids_log.shape[2])),
+        )
+    fin_p = jnp.pad(fin.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+
+    key_bt = _traceback_pallas_keys(
+        fin_p, ids_p, T=T, K=K, A=A, TB=TB, Bt=Bt, interpret=interpret
+    )
+    labels_rev, times_rev = _sort_unpack_keys(
+        key_bt[:B, :T], T, lab_bits, t_bits
+    )
+    count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
+    return labels_rev, times_rev, count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "beam_size", "collapse_repeats", "block_t", "block_b", "interpret",
-        "raw", "version",
+        "raw", "version", "traceback",
     ),
 )
 def beam_search_pallas_batch(
@@ -358,6 +524,7 @@ def beam_search_pallas_batch(
     interpret: bool = False,
     raw: bool = False,
     version: int = 1,
+    traceback: str = "auto",
 ):
     """Fused-kernel batched beam search; beam_fast output contract."""
     B, T, A1 = probs.shape
@@ -366,10 +533,23 @@ def beam_search_pallas_batch(
     KP = max(-(-K // 8) * 8, 8)
     TB = min(block_t, max(T, 1))
     Bt = min(block_b, max(B, 1))
+    if T % TB:
+        # a time-block that divides T exactly skips the [B, T, A1] pad —
+        # an extra full-array copy (~9 ms at the headline shape, the
+        # XLA pad runs at HBM-copy rate).  Prefer the largest divisor of
+        # T near block_t; fall back to padding for awkward T.
+        # (multiple of 8: the traceback kernel's 2-D key blocks need an
+        # 8-aligned sublane dim)
+        for d in range(min(2 * TB, T) & ~7, 7, -8):
+            if T % d == 0:
+                TB = d
+                break
 
     Tp = -(-T // TB) * TB
     Bp = -(-B // Bt) * Bt
-    probs_p = jnp.pad(probs, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    probs_p = probs
+    if Tp != T or Bp != B:
+        probs_p = jnp.pad(probs, ((0, Bp - B), (0, Tp - T), (0, 0)))
     lens_p = jnp.pad(
         jnp.asarray(lengths, jnp.int32), (0, Bp - B)
     ).reshape(1, Bp)
@@ -425,11 +605,31 @@ def beam_search_pallas_batch(
         return {"ids_log": ids_log, "fin": fin, "err": err[0, :B]}
 
     # gather-free batched traceback directly over the kernel's id-log
-    # layout (see _traceback_scan_batch — the vmapped pointer walk was 48
-    # of the 58 ms batch time)
-    labels_rev, times_rev, count = _traceback_scan_batch(
-        fin[0, :B], ids_log[:T, :, :B], T, K, A
-    )
+    # layout.  "pallas" fuses the backward walk + key pack + transpose in
+    # one kernel (traceback_pallas_batch); "scan" is the XLA form
+    # (_traceback_scan_batch — itself the fix for the vmapped pointer
+    # walk, 48 of the 58 ms round-1 batch).  "auto" = pallas whenever the
+    # packed key fits (the scan form needs the same bound for its fast
+    # branch, and beyond it falls to a stable 3-operand sort).
+    from .beam_fast import _key_bits, _sort_unpack_keys
+
+    lab_bits, t_bits = _key_bits(T, A)
+    if traceback == "auto":
+        traceback = "pallas" if lab_bits + t_bits <= 30 else "scan"
+    if traceback == "pallas":
+        # ids_log/fin are already padded to (Tp, KP, Bp)/(1, Bp) — feed
+        # them to the fused walk directly (no copy) and slice the keys
+        key_bt = _traceback_pallas_keys(
+            fin, ids_log, T=T, K=K, A=A, TB=TB, Bt=Bt, interpret=interpret
+        )
+        labels_rev, times_rev = _sort_unpack_keys(
+            key_bt[:B, :T], T, lab_bits, t_bits
+        )
+        count = jnp.sum((labels_rev >= 0).astype(jnp.int32), axis=-1)
+    else:
+        labels_rev, times_rev, count = _traceback_scan_batch(
+            fin[0, :B], ids_log[:T, :, :B], T, K, A
+        )
     return {
         "labels_rev": labels_rev,
         "times_rev": times_rev,
