@@ -72,6 +72,22 @@ def _mix2_i32(h, lbl):
     return _mix_i32(h, lbl, 0x27D4EB2F, 0x9E3779B1)
 
 
+def _mix_c_plane(a_plane, mult_u, add_u):
+    """Per-row mix constant ``a * mult + add`` as one precomputed plane.
+
+    i32 mul/add wrap exactly like the uint32 arithmetic _mix_i32 folds on
+    host, so ``_mix_plane(h, _mix_c_plane(a_of_r, m, c), m)`` is
+    bit-identical to the per-label ``where(a_of_r == a, _mix_i32(h, a))``
+    sweep — at 4 vector ops per hash instead of A selects + A mixes.
+    """
+    return a_plane * _u(mult_u) + _u(add_u)
+
+
+def _mix_plane(h, c_plane, mult_u):
+    z = (h ^ c_plane) * _u(mult_u)
+    return z ^ jax.lax.shift_right_logical(z, np.int32(16))
+
+
 def _beam_kernel(
     thr_ref,  # SMEM (1, 1) f32
     probs_ref,  # VMEM (TB, A1, Bt) f32
@@ -121,6 +137,8 @@ def _beam_kernel(
     k_of_r = row_i // np.int32(A)
     a_of_r = row_i % np.int32(A)
     cand_in = row_i < KA
+    c1_plane = _mix_c_plane(a_of_r, 0xC2B2AE35, 0x165667B1)
+    c2_plane = _mix_c_plane(a_of_r, 0x27D4EB2F, 0x9E3779B1)
 
     def expand_k(x_kp, fill=0):
         """[KP, Bt] per-tip values -> [KAP, Bt] per-(k, a) candidate rows."""
@@ -155,11 +173,8 @@ def _beam_kernel(
         for a in range(A):
             plab_r = jnp.where(a_of_r == a, row[1 + a : 2 + a, :], plab_r)
         h1e, h2e = expand_k(h1), expand_k(h2)
-        th1 = jnp.zeros((KAP, Bt), jnp.int32)
-        th2 = jnp.zeros((KAP, Bt), jnp.int32)
-        for a in range(A):
-            th1 = jnp.where(a_of_r == a, _mix1_i32(h1e, a), th1)
-            th2 = jnp.where(a_of_r == a, _mix2_i32(h2e, a), th2)
+        th1 = _mix_plane(h1e, c1_plane, 0xC2B2AE35)
+        th2 = _mix_plane(h2e, c2_plane, 0x27D4EB2F)
         valid_r = (expand_k(va_ref[:]) != 0) & cand_in
         pushed = valid_r & ~(plab_r < thr)
         if collapse:
@@ -231,19 +246,12 @@ def _beam_kernel(
         )  # (KP + KAP, Bt)
         c_id = jnp.concatenate([idv, fresh_id])
 
-        # error flags (reference NaN semantics: >= 2 candidates compared),
-        # per region — no concatenated tot plane needed
-        c_valid = c_key > NEG_INF  # (NaN totals map to +inf, so this holds)
-        cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
-        nanv = jnp.max(
-            jnp.where(tip_valid & jnp.isnan(tip_tot), 1, 0),
-            axis=0, keepdims=True,
-        ) | jnp.max(
-            jnp.where(fresh_valid & jnp.isnan(m_ext), 1, 0),
-            axis=0, keepdims=True,
-        )
-        nan_flag = (cnt >= 2) & (nanv != 0)
-        empty_flag = cnt == 0
+        if K == 1:
+            # the rounds can't tell "1 candidate" from ">= 2" with a
+            # single round — count explicitly (reference NaN semantics
+            # raise only when >= 2 candidates are actually compared)
+            c_valid = c_key > NEG_INF  # (valid NaN totals map to +inf)
+            cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
 
         # ---- top-K selection: K rounds of (max, tie -> min id) ----
         # The min-id pass materializes the chosen id, and the
@@ -254,9 +262,12 @@ def _beam_kernel(
         # reductions (and gap needs only the tip region: fresh gap = 0).
         sel_rows = []  # per round: (valid, [lab, gap, id, h1, h2, lastlab])
         top = None
+        mx1 = None
         key = c_key
         for _ in range(K):
             mx = jnp.max(key, axis=0, keepdims=True)
+            if mx1 is None:
+                mx1 = mx
             slot_valid = mx > NEG_INF
             at = key == mx
             sid = jnp.min(
@@ -292,6 +303,19 @@ def _beam_kernel(
                 top = sel_lab + sel_gap  # pre-normalization top score
             key = jnp.where(chosen, NEG_INF, key)
             sel_rows.append((slot_valid, acc))
+
+        # ---- error flags, free from the selection rounds ----
+        # empty beam <=> round 1 found nothing; a NaN total <=> round 1's
+        # max is +inf (key_of maps valid NaN candidates there); the
+        # reference's ">= 2 candidates compared" condition <=> round 2
+        # still had a candidate after round 1 took exactly one
+        # (src/search.rs:261-272 raises from the pairwise sort compare)
+        empty_flag = ~sel_rows[0][0]
+        if K == 1:
+            two_plus = cnt >= 2
+        else:
+            two_plus = sel_rows[1][0]
+        nan_flag = (mx1 == POS_INF) & two_plus
 
         # ---- write back the next beam, gated on `active` ----
         step_err = jnp.where(
@@ -469,7 +493,7 @@ def traceback_pallas_batch(
     K: int,
     A: int,
     block_t: int = 32,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: bool = False,
 ):
     """Fused traceback: returns (labels_rev [B, T], times_rev, count).
@@ -520,7 +544,7 @@ def beam_search_pallas_batch(
     beam_size: int,
     collapse_repeats: bool = True,
     block_t: int = 32,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: bool = False,
     raw: bool = False,
     version: int = 1,
@@ -553,13 +577,14 @@ def beam_search_pallas_batch(
     lens_p = jnp.pad(
         jnp.asarray(lengths, jnp.int32), (0, Bp - B)
     ).reshape(1, Bp)
-    # [Tp, A1, Bp] via a 2-D transpose: a direct (1, 2, 0) permutation
-    # drags the 5-wide minor dim through a slow layout path (~9 ms at
-    # B=4096); transposing [Bp, Tp*A1] -> [Tp*A1, Bp] and splitting rows
-    # is the same result at full bandwidth
-    probs_t = jnp.transpose(probs_p.reshape(Bp, Tp * A1), (1, 0)).reshape(
-        Tp, A1, Bp
-    )
+    # [Tp, A1, Bp] input layout.  Round 2 found the 2-D flat transpose
+    # ([Bp, Tp*A1] -> [Tp*A1, Bp] + row split) faster than the direct
+    # permutation; re-measured in round 5 at B=32768 the direct (1, 2, 0)
+    # permute is 2x faster (7.8 vs 16.0 ms) — XLA's choice of transpose
+    # strategy changed with shape/scale.  (Also probed: MXU identity-dot
+    # transposes (einsum 'gbta,bc->tagc', bit-exact) ~11 ms, in-kernel
+    # VMEM transposes ~5 s — neither wins.)
+    probs_t = jnp.transpose(probs_p, (1, 2, 0))
     thr = jnp.asarray(beam_cut_threshold, jnp.float32).reshape(1, 1)
 
     grid = (Bp // Bt, Tp // TB)
