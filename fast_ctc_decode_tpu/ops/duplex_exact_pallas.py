@@ -1056,9 +1056,11 @@ def _exact_duplex_kernel(
 
     @pl.when(misc[3] == 0)
     def _run_fast():
+        # Mosaic lowers fori_loop only at unroll=1 or full unroll — a
+        # partial unroll (e.g. 2) fails to compile on real TPU (it does
+        # work interpreted, which is why CPU tests can't catch it)
         jax.lax.fori_loop(
-            0, T1, functools.partial(step, zero_safe=False), 0,
-            unroll=2 if T1 % 2 == 0 else False,
+            0, T1, functools.partial(step, zero_safe=False), 0, unroll=False
         )
 
     @pl.when(misc[3] != 0)
@@ -1239,6 +1241,12 @@ def duplex_exact_pallas_batch(
             pltpu.SMEM((32,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],
+        # the band tables alone are 2*(N+1)*WP*4 bytes of scratch; with the
+        # CRF input blocks this exceeds Mosaic's default 16 MB scoped-vmem
+        # limit — raise it (v5e has 128 MB of VMEM; one read per program)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         scal.reshape(B, 1, 8),
