@@ -355,12 +355,311 @@ def _beam_kernel(
     err_out_ref[:] = er_ref[:]
 
 
+def _beam_kernel2(
+    thr_ref,  # SMEM (1, 1) f32
+    probs_ref,  # VMEM (TB, A1, Bt) f32
+    len_ref,  # VMEM (1, Bt) i32
+    ids_out_ref,  # VMEM (TB, KP, Bt) i32
+    fin_ref,  # VMEM (1, Bt) i32
+    err_out_ref,  # VMEM (1, Bt) i32
+    # scratch
+    lab_ref,  # (KP, Bt) f32
+    gap_ref,  # (KP, Bt) f32
+    h1_ref,  # (KP, Bt) i32  PARENT hash 1 (root: unused, ll < 0)
+    h2_ref,  # (KP, Bt) i32  PARENT hash 2
+    ll_ref,  # (KP, Bt) i32  last label (-1 root)
+    id_ref,  # (KP, Bt) i32  (-1 root, -2 empty)
+    va_ref,  # (KP, Bt) i32  validity 0/1
+    er_ref,  # (1, Bt) i32
+    *,
+    K: int,
+    KP: int,
+    A: int,
+    TB: int,
+    collapse: bool,
+):
+    """Parent-hash variant of _beam_kernel (same outputs, bit-identical).
+
+    Two restructurings against v1, both exploiting that a tip's own hash
+    is a pure function of (parent hash, last label):
+
+    1. **Parent-hash matching.**  v1 stores each tip's own hash and per
+       step mixes full [K*A, Bt] child-hash planes (th1/th2) to compare
+       against tips.  th(k, a) == h[jj] is (modulo the already-accepted
+       hash-collision tolerance) equivalent to ``h[k] == hp[jj] and
+       a == ll[jj]`` where hp is jj's *parent* hash.  Storing (hp, ll)
+       instead of h and recomputing own hashes once per step on the
+       [KP, Bt] tip plane removes both candidate-plane mixes.
+
+    2. **Deferred hash write-back.**  v1's selection rounds pick h1/h2
+       through 2 fields x (tips + fresh) masked reductions per round.
+       The winner's hashes are determined by its *source row* alone:
+       a fresh candidate (k, a) gets hp = h[k]; a tip winner jj keeps
+       hp[jj].  Each round only records (is_fresh, source row) — fresh k
+       is id arithmetic, tip jj is one min-reduction — and ONE
+       broadcast-select per hash rebuilds the new hp planes after the
+       rounds.
+    """
+    j = pl.program_id(1)
+    Bt = len_ref.shape[1]
+    KA = np.int32(K * A)
+
+    @pl.when(j == 0)
+    def _init():
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0) == 0
+        lab_ref[:] = jnp.zeros((KP, Bt), jnp.float32)
+        gap_ref[:] = jnp.where(row0, 1.0, 0.0).astype(jnp.float32)
+        h1_ref[:] = jnp.zeros((KP, Bt), jnp.int32)
+        h2_ref[:] = jnp.zeros((KP, Bt), jnp.int32)
+        ll_ref[:] = jnp.full((KP, Bt), -1, jnp.int32)
+        id_ref[:] = jnp.where(row0, -1, -2).astype(jnp.int32)
+        va_ref[:] = jnp.where(row0, 1, 0).astype(jnp.int32)
+        er_ref[:] = jnp.zeros((1, Bt), jnp.int32)
+
+    thr = thr_ref[0, 0]
+    lens = len_ref[:]  # (1, Bt)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0)
+    in_beam = slot < K
+    KAP = max(-(-KA // 8) * 8, 8)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (KAP, Bt), 0)
+    k_of_r = row_i // np.int32(A)
+    a_of_r = row_i % np.int32(A)
+    cand_in = row_i < KA
+
+    def expand_k(x_kp, fill=0):
+        out = jnp.full((KAP, Bt), fill, x_kp.dtype)
+        for k in range(K):
+            out = jnp.where(k_of_r == k, x_kp[k : k + 1, :], out)
+        return out
+
+    def step(jt, _):
+        t = j * TB + jt  # scalar i32
+        err = er_ref[:]
+        active = (t < lens) & (err == 0)  # (1, Bt)
+
+        lab = lab_ref[:]
+        gap = gap_ref[:]
+        hp1 = h1_ref[:]
+        hp2 = h2_ref[:]
+        lastlab = ll_ref[:]
+        idv = id_ref[:]
+        valid = (va_ref[:] != 0) & in_beam
+
+        ids_out_ref[jt] = idv
+
+        # own hashes from (parent hash, last label); root keeps the seed
+        root_row = lastlab < 0
+        h1 = jnp.where(
+            root_row, _SEED1,
+            _mix_plane(hp1, _mix_c_plane(lastlab, 0xC2B2AE35, 0x165667B1),
+                       0xC2B2AE35),
+        )
+        h2 = jnp.where(
+            root_row, _SEED2,
+            _mix_plane(hp2, _mix_c_plane(lastlab, 0x27D4EB2F, 0x9E3779B1),
+                       0x27D4EB2F),
+        )
+
+        row = probs_ref[jt]  # (A1, Bt)
+        p0 = row[0:1, :]
+        lg = lab + gap
+
+        # ---- candidate-plane expansion ----
+        plab_r = jnp.zeros((KAP, Bt), jnp.float32)
+        for a in range(A):
+            plab_r = jnp.where(a_of_r == a, row[1 + a : 2 + a, :], plab_r)
+        h1e, h2e = expand_k(h1), expand_k(h2)
+        # one packed (validity | lastlab+9) expansion instead of two
+        vl = va_ref[:] * np.int32(256) + (lastlab + np.int32(9))
+        vl_e = expand_k(vl)
+        valid_r = (vl_e >= 256) & cand_in
+        pushed = valid_r & ~(plab_r < thr)
+        if collapse:
+            is_rep_r = (vl_e & np.int32(255)) == a_of_r + np.int32(9)
+        else:
+            is_rep_r = jnp.zeros((KAP, Bt), bool)
+        gap_e = expand_k(gap)
+        m_ext = jnp.where(is_rep_r, gap_e, expand_k(lg)) * plab_r
+
+        # ---- matching via parent identity: (k, a) -> jj iff
+        # h[k] == hp[jj] and a == ll[jj] ----
+        match = []
+        matched = jnp.zeros((KAP, Bt), bool)
+        for jj in range(K):
+            m = (
+                (h1e == hp1[jj : jj + 1, :])
+                & (h2e == hp2[jj : jj + 1, :])
+                & (a_of_r == lastlab[jj : jj + 1, :])
+                & valid[jj : jj + 1, :]
+            )
+            match.append(m)
+            matched = matched | m
+
+        push_ext = pushed & (~is_rep_r | matched | (gap_e > 0.0))
+
+        recv = jnp.zeros((KP, Bt), jnp.float32)
+        recv_any = jnp.zeros((KP, Bt), bool)
+        for jj in range(K):
+            sel = match[jj] & push_ext
+            acc = jnp.sum(jnp.where(sel, m_ext, 0.0), axis=0, keepdims=True)
+            got = jnp.any(sel, axis=0, keepdims=True)
+            rmask = slot == jj
+            recv = jnp.where(rmask, acc, recv)
+            recv_any = recv_any | (rmask & got)
+
+        # ---- stay / blank ----
+        if collapse:
+            p_stay = jnp.zeros((KP, Bt), jnp.float32)
+            for a in range(A):
+                p_stay = p_stay + jnp.where(
+                    lastlab == a, row[1 + a : 2 + a, :], 0.0
+                )
+            stay_push = valid & (lastlab >= 0) & ~(p_stay < thr)
+            stay_lab = jnp.where(stay_push, lab * p_stay, 0.0)
+        else:
+            stay_push = jnp.zeros((KP, Bt), bool)
+            stay_lab = jnp.zeros((KP, Bt), jnp.float32)
+
+        blank_push = valid & (p0 > thr)
+        blank_gap = jnp.where(blank_push, lg * p0, 0.0)
+
+        tip_lab = stay_lab + recv
+        tip_gap = blank_gap
+        tip_valid = blank_push | stay_push | recv_any
+
+        def key_of(v, tot):
+            return jnp.where(
+                v, jnp.where(jnp.isnan(tot), POS_INF, tot + 0.0), NEG_INF
+            )
+
+        fresh_valid = push_ext & ~matched
+        fresh_id = t * KA + k_of_r * np.int32(A) + a_of_r
+        tip_tot = tip_lab + tip_gap
+        m_ext_v = jnp.where(fresh_valid, m_ext, 0.0)
+        c_key = jnp.concatenate(
+            [key_of(tip_valid, tip_tot), key_of(fresh_valid, m_ext_v)]
+        )  # (KP + KAP, Bt)
+        c_id = jnp.concatenate([idv, fresh_id])
+
+        if K == 1:
+            c_valid = c_key > NEG_INF
+            cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
+
+        # ---- top-K selection rounds ----
+        tKA = t * KA  # scalar: fresh ids are >= tKA, tip ids are < tKA
+        sel_rows = []  # per round: (valid, [lab, gap, id, ll, isf, src])
+        top = None
+        mx1 = None
+        key = c_key
+        for _ in range(K):
+            mx = jnp.max(key, axis=0, keepdims=True)
+            if mx1 is None:
+                mx1 = mx
+            slot_valid = mx > NEG_INF
+            at = key == mx
+            sid = jnp.min(
+                jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True
+            )
+            chosen = at & (c_id == sid)
+            ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
+
+            def pick_t(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_t, arr, z), axis=0, keepdims=True
+                )
+
+            def pick_f(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
+                )
+
+            sel_id = jnp.where(slot_valid, sid, -2)
+            sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(m_ext_v, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
+            # source row: fresh -> parent tip k (id arithmetic); tip ->
+            # its own slot (min over the chosen tip-region row)
+            isf = sid >= tKA
+            k_fresh = jax.lax.div(sid - tKA, np.int32(A))
+            jj_tip = jnp.min(
+                jnp.where(ch_t, slot, np.int32(KP)), axis=0, keepdims=True
+            )
+            src = jnp.where(isf, k_fresh, jj_tip)
+            acc = [sel_lab, sel_gap, sel_id, sel_ll, isf, src]
+            if top is None:
+                top = sel_lab + sel_gap
+            key = jnp.where(chosen, NEG_INF, key)
+            sel_rows.append((slot_valid, acc))
+
+        empty_flag = ~sel_rows[0][0]
+        if K == 1:
+            two_plus = cnt >= 2
+        else:
+            two_plus = sel_rows[1][0]
+        nan_flag = (mx1 == POS_INF) & two_plus
+
+        step_err = jnp.where(
+            nan_flag,
+            errors.INCOMPARABLE_VALUES,
+            jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+        ).astype(jnp.int32)
+        er_ref[:] = jnp.where(
+            err > 0, err, jnp.where(active, step_err, 0)
+        ).astype(jnp.int32)
+
+        # ---- assemble (source row | fresh flag) plane for the new beam ----
+        srcp = jnp.zeros((KP, Bt), jnp.int32)
+        for r in range(K):
+            _, acc = sel_rows[r]
+            enc = acc[5] + jnp.where(acc[4], np.int32(KP), 0)
+            srcp = jnp.where(slot == r, enc, srcp)
+        # one broadcast-select per hash: row r -> old hp[r] (tip winner),
+        # row KP + r -> own-hash h[r] (fresh winner's parent)
+        nhp1 = jnp.zeros((KP, Bt), jnp.int32)
+        nhp2 = jnp.zeros((KP, Bt), jnp.int32)
+        for r in range(K):
+            tm = srcp == r
+            fm = srcp == KP + r
+            nhp1 = jnp.where(tm, hp1[r : r + 1, :], nhp1)
+            nhp1 = jnp.where(fm, h1[r : r + 1, :], nhp1)
+            nhp2 = jnp.where(tm, hp2[r : r + 1, :], nhp2)
+            nhp2 = jnp.where(fm, h2[r : r + 1, :], nhp2)
+
+        actp = active & in_beam
+        h1_ref[:] = jnp.where(actp, nhp1, hp1)
+        h2_ref[:] = jnp.where(actp, nhp2, hp2)
+
+        for r in range(K):
+            slot_valid, acc = sel_rows[r]
+            g = lambda new, old: jnp.where(active, new, old)
+            rs = slice(r, r + 1)
+            lab_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[0] / top, 0.0), lab_ref[rs, :]
+            )
+            gap_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[1] / top, 0.0), gap_ref[rs, :]
+            )
+            id_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[2], -2), id_ref[rs, :]
+            )
+            ll_ref[rs, :] = g(acc[3], ll_ref[rs, :])
+            va_ref[rs, :] = g(
+                jnp.where(slot_valid, 1, 0).astype(jnp.int32), va_ref[rs, :]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, TB, step, 0, unroll=TB if TB <= 8 else 1)
+    fin_ref[:] = id_ref[0:1, :]
+    err_out_ref[:] = er_ref[:]
+
+
 # Experiment hook: beam_search_pallas_batch(version=N) dispatches here so
 # tools/ab_bench.py can bit-parity-check and time kernel variants against
 # the default.  (Round 5 tried an a-major candidate-plane variant — aligned
 # sublane concats instead of K-way selects for the expansion — and measured
 # it ~5% SLOWER than the k-major kernel at B=4096..32768; see PERF.md.)
-_KERNEL_VARIANTS = {1: _beam_kernel}
+_KERNEL_VARIANTS = {1: _beam_kernel, 2: _beam_kernel2}
 
 
 def _traceback_kernel(
@@ -544,10 +843,10 @@ def beam_search_pallas_batch(
     beam_size: int,
     collapse_repeats: bool = True,
     block_t: int = 32,
-    block_b: int = 512,
+    block_b: int = 256,
     interpret: bool = False,
     raw: bool = False,
-    version: int = 1,
+    version: int = 2,
     traceback: str = "auto",
 ):
     """Fused-kernel batched beam search; beam_fast output contract."""
