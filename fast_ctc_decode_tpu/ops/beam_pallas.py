@@ -497,15 +497,23 @@ def _beam_kernel2(
 
         push_ext = pushed & (~is_rep_r | matched | (gap_e > 0.0))
 
+        # recv sums stay per-tip; the "any arrival" bits ride ONE
+        # or-reduce of a target bitmask instead of K any-reductions
         recv = jnp.zeros((KP, Bt), jnp.float32)
-        recv_any = jnp.zeros((KP, Bt), bool)
+        tgt_bits = jnp.zeros((KAP, Bt), jnp.int32)
         for jj in range(K):
             sel = match[jj] & push_ext
             acc = jnp.sum(jnp.where(sel, m_ext, 0.0), axis=0, keepdims=True)
-            got = jnp.any(sel, axis=0, keepdims=True)
             rmask = slot == jj
             recv = jnp.where(rmask, acc, recv)
-            recv_any = recv_any | (rmask & got)
+            tgt_bits = tgt_bits | jnp.where(sel, np.int32(1 << jj), 0)
+        got_bits = jnp.max(tgt_bits, axis=0, keepdims=True)  # or of onehots
+        recv_any = (
+            jax.lax.shift_right_logical(
+                jnp.broadcast_to(got_bits, (KP, Bt)), slot
+            )
+            & 1
+        ) != 0
 
         # ---- stay / blank ----
         if collapse:
@@ -562,25 +570,22 @@ def _beam_kernel2(
             )
             chosen = at & (c_id == sid)
             ch_t = chosen[:KP]
-            ch_f = chosen[KP:]
 
             def pick_t(arr, z):
                 return jnp.sum(
                     jnp.where(ch_t, arr, z), axis=0, keepdims=True
                 )
 
-            def pick_f(arr, z):
-                return jnp.sum(
-                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
-                )
-
             sel_id = jnp.where(slot_valid, sid, -2)
             sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
-            sel_lab = pick_t(tip_lab, 0.0) + pick_f(m_ext_v, 0.0)
-            sel_gap = pick_t(tip_gap, 0.0)
+            # a fresh winner's key IS its m_ext bit-exactly (gap = 0,
+            # key_of adds 0.0), so only tip winners need field picks —
+            # and the tip region is 8 rows, not KP + K*A
+            isf = sid >= tKA
+            sel_lab = jnp.where(isf, mx, pick_t(tip_lab, 0.0))
+            sel_gap = jnp.where(isf, 0.0, pick_t(tip_gap, 0.0))
             # source row: fresh -> parent tip k (id arithmetic); tip ->
             # its own slot (min over the chosen tip-region row)
-            isf = sid >= tKA
             k_fresh = jax.lax.div(sid - tKA, np.int32(A))
             jj_tip = jnp.min(
                 jnp.where(ch_t, slot, np.int32(KP)), axis=0, keepdims=True
@@ -634,6 +639,287 @@ def _beam_kernel2(
             slot_valid, acc = sel_rows[r]
             g = lambda new, old: jnp.where(active, new, old)
             rs = slice(r, r + 1)
+            # true division — reciprocal-multiply rounds differently and
+            # would break bit-parity with the scan engine / the reference
+            lab_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[0] / top, 0.0), lab_ref[rs, :]
+            )
+            gap_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[1] / top, 0.0), gap_ref[rs, :]
+            )
+            id_ref[rs, :] = g(
+                jnp.where(slot_valid, acc[2], -2), id_ref[rs, :]
+            )
+            ll_ref[rs, :] = g(acc[3], ll_ref[rs, :])
+            va_ref[rs, :] = g(
+                jnp.where(slot_valid, 1, 0).astype(jnp.int32), va_ref[rs, :]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, TB, step, 0, unroll=TB if TB <= 8 else 1)
+    fin_ref[:] = id_ref[0:1, :]
+    err_out_ref[:] = er_ref[:]
+
+
+def _beam_kernel3(
+    thr_ref,  # SMEM (1, 1) f32
+    probs_ref,  # VMEM (TB, A1, Bt) f32
+    len_ref,  # VMEM (1, Bt) i32
+    ids_out_ref,  # VMEM (TB, KP, Bt) i32
+    fin_ref,  # VMEM (1, Bt) i32
+    err_out_ref,  # VMEM (1, Bt) i32
+    # scratch
+    lab_ref,  # (KP, Bt) f32
+    gap_ref,  # (KP, Bt) f32
+    h1_ref,  # (KP, Bt) i32  PARENT hash 1
+    h2_ref,  # (KP, Bt) i32  PARENT hash 2
+    ll_ref,  # (KP, Bt) i32  last label (-1 root)
+    id_ref,  # (KP, Bt) i32  (-1 root, -2 empty)
+    va_ref,  # (KP, Bt) i32  validity 0/1
+    er_ref,  # (1, Bt) i32
+    *,
+    K: int,
+    KP: int,
+    A: int,
+    TB: int,
+    collapse: bool,
+):
+    """v2 with an a-major tiled candidate plane (pltpu.repeat expansion).
+
+    The per-(k, a) candidate plane is laid out as A tiles of the full
+    KP-row tip plane (row r: k = r % KP, a = r // KP), so every per-tip
+    -> per-candidate expansion is ONE pltpu.repeat instead of K
+    broadcast+select sweeps.  Tip rows k >= K are invalid by va == 0, so
+    the tile padding needs no extra mask; row masks that remain (label
+    plane, repeat test) compare against a = r // KP, which is constant
+    over each 8-sublane register group.  Candidate ids still encode the
+    reference (t*K*A + k*A + a) order, so selection, tie-breaks, and the
+    traceback are bit-identical to v1/v2.
+    """
+    j = pl.program_id(1)
+    Bt = len_ref.shape[1]
+    KA = np.int32(K * A)
+
+    @pl.when(j == 0)
+    def _init():
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0) == 0
+        lab_ref[:] = jnp.zeros((KP, Bt), jnp.float32)
+        gap_ref[:] = jnp.where(row0, 1.0, 0.0).astype(jnp.float32)
+        h1_ref[:] = jnp.zeros((KP, Bt), jnp.int32)
+        h2_ref[:] = jnp.zeros((KP, Bt), jnp.int32)
+        ll_ref[:] = jnp.full((KP, Bt), -1, jnp.int32)
+        id_ref[:] = jnp.where(row0, -1, -2).astype(jnp.int32)
+        va_ref[:] = jnp.where(row0, 1, 0).astype(jnp.int32)
+        er_ref[:] = jnp.zeros((1, Bt), jnp.int32)
+
+    thr = thr_ref[0, 0]
+    lens = len_ref[:]  # (1, Bt)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (KP, Bt), 0)
+    in_beam = slot < K
+    KAP = KP * A  # a-major: A tiles of the KP-row tip plane
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (KAP, Bt), 0)
+    k_of_r = row_i % np.int32(KP)
+    a_of_r = row_i // np.int32(KP)
+    # reference candidate id offset k*A + a from the tiled row index
+    fid_c = k_of_r * np.int32(A) + a_of_r
+
+    def expand_k(x_kp):
+        return pltpu.repeat(x_kp, A, axis=0)
+
+    def step(jt, _):
+        t = j * TB + jt  # scalar i32
+        err = er_ref[:]
+        active = (t < lens) & (err == 0)  # (1, Bt)
+
+        lab = lab_ref[:]
+        gap = gap_ref[:]
+        hp1 = h1_ref[:]
+        hp2 = h2_ref[:]
+        lastlab = ll_ref[:]
+        idv = id_ref[:]
+        valid = (va_ref[:] != 0) & in_beam
+
+        ids_out_ref[jt] = idv
+
+        root_row = lastlab < 0
+        h1 = jnp.where(
+            root_row, _SEED1,
+            _mix_plane(hp1, _mix_c_plane(lastlab, 0xC2B2AE35, 0x165667B1),
+                       0xC2B2AE35),
+        )
+        h2 = jnp.where(
+            root_row, _SEED2,
+            _mix_plane(hp2, _mix_c_plane(lastlab, 0x27D4EB2F, 0x9E3779B1),
+                       0x27D4EB2F),
+        )
+
+        row = probs_ref[jt]  # (A1, Bt)
+        p0 = row[0:1, :]
+        lg = lab + gap
+
+        # ---- candidate-plane expansion: one tile op per field ----
+        plab_r = jnp.zeros((KAP, Bt), jnp.float32)
+        for a in range(A):
+            plab_r = jnp.where(a_of_r == a, row[1 + a : 2 + a, :], plab_r)
+        h1e, h2e = expand_k(h1), expand_k(h2)
+        vl = va_ref[:] * np.int32(256) + (lastlab + np.int32(9))
+        vl_e = expand_k(vl)
+        valid_r = vl_e >= 256  # tip rows k >= K have va == 0
+        pushed = valid_r & ~(plab_r < thr)
+        if collapse:
+            is_rep_r = (vl_e & np.int32(255)) == a_of_r + np.int32(9)
+        else:
+            is_rep_r = jnp.zeros((KAP, Bt), bool)
+        gap_e = expand_k(gap)
+        m_ext = jnp.where(is_rep_r, gap_e, expand_k(lg)) * plab_r
+
+        # ---- matching via parent identity ----
+        match = []
+        matched = jnp.zeros((KAP, Bt), bool)
+        for jj in range(K):
+            m = (
+                (h1e == hp1[jj : jj + 1, :])
+                & (h2e == hp2[jj : jj + 1, :])
+                & (a_of_r == lastlab[jj : jj + 1, :])
+                & valid[jj : jj + 1, :]
+            )
+            match.append(m)
+            matched = matched | m
+
+        push_ext = pushed & (~is_rep_r | matched | (gap_e > 0.0))
+
+        recv = jnp.zeros((KP, Bt), jnp.float32)
+        recv_any = jnp.zeros((KP, Bt), bool)
+        for jj in range(K):
+            sel = match[jj] & push_ext
+            acc = jnp.sum(jnp.where(sel, m_ext, 0.0), axis=0, keepdims=True)
+            got = jnp.any(sel, axis=0, keepdims=True)
+            rmask = slot == jj
+            recv = jnp.where(rmask, acc, recv)
+            recv_any = recv_any | (rmask & got)
+
+        # ---- stay / blank ----
+        if collapse:
+            p_stay = jnp.zeros((KP, Bt), jnp.float32)
+            for a in range(A):
+                p_stay = p_stay + jnp.where(
+                    lastlab == a, row[1 + a : 2 + a, :], 0.0
+                )
+            stay_push = valid & (lastlab >= 0) & ~(p_stay < thr)
+            stay_lab = jnp.where(stay_push, lab * p_stay, 0.0)
+        else:
+            stay_push = jnp.zeros((KP, Bt), bool)
+            stay_lab = jnp.zeros((KP, Bt), jnp.float32)
+
+        blank_push = valid & (p0 > thr)
+        blank_gap = jnp.where(blank_push, lg * p0, 0.0)
+
+        tip_lab = stay_lab + recv
+        tip_gap = blank_gap
+        tip_valid = blank_push | stay_push | recv_any
+
+        def key_of(v, tot):
+            return jnp.where(
+                v, jnp.where(jnp.isnan(tot), POS_INF, tot + 0.0), NEG_INF
+            )
+
+        fresh_valid = push_ext & ~matched
+        fresh_id = t * KA + fid_c
+        tip_tot = tip_lab + tip_gap
+        m_ext_v = jnp.where(fresh_valid, m_ext, 0.0)
+        c_key = jnp.concatenate(
+            [key_of(tip_valid, tip_tot), key_of(fresh_valid, m_ext_v)]
+        )  # (KP + KAP, Bt)
+        c_id = jnp.concatenate([idv, fresh_id])
+
+        if K == 1:
+            c_valid = c_key > NEG_INF
+            cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
+
+        # ---- top-K selection rounds ----
+        tKA = t * KA
+        sel_rows = []
+        top = None
+        mx1 = None
+        key = c_key
+        for _ in range(K):
+            mx = jnp.max(key, axis=0, keepdims=True)
+            if mx1 is None:
+                mx1 = mx
+            slot_valid = mx > NEG_INF
+            at = key == mx
+            sid = jnp.min(
+                jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True
+            )
+            chosen = at & (c_id == sid)
+            ch_t = chosen[:KP]
+            ch_f = chosen[KP:]
+
+            def pick_t(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_t, arr, z), axis=0, keepdims=True
+                )
+
+            def pick_f(arr, z):
+                return jnp.sum(
+                    jnp.where(ch_f, arr, z), axis=0, keepdims=True
+                )
+
+            sel_id = jnp.where(slot_valid, sid, -2)
+            sel_ll = jnp.where(sid < 0, -1, sid % np.int32(A))
+            sel_lab = pick_t(tip_lab, 0.0) + pick_f(m_ext_v, 0.0)
+            sel_gap = pick_t(tip_gap, 0.0)
+            isf = sid >= tKA
+            k_fresh = jax.lax.div(sid - tKA, np.int32(A))
+            jj_tip = jnp.min(
+                jnp.where(ch_t, slot, np.int32(KP)), axis=0, keepdims=True
+            )
+            src = jnp.where(isf, k_fresh, jj_tip)
+            acc = [sel_lab, sel_gap, sel_id, sel_ll, isf, src]
+            if top is None:
+                top = sel_lab + sel_gap
+            key = jnp.where(chosen, NEG_INF, key)
+            sel_rows.append((slot_valid, acc))
+
+        empty_flag = ~sel_rows[0][0]
+        if K == 1:
+            two_plus = cnt >= 2
+        else:
+            two_plus = sel_rows[1][0]
+        nan_flag = (mx1 == POS_INF) & two_plus
+
+        step_err = jnp.where(
+            nan_flag,
+            errors.INCOMPARABLE_VALUES,
+            jnp.where(empty_flag, errors.RAN_OUT_OF_BEAM, errors.OK),
+        ).astype(jnp.int32)
+        er_ref[:] = jnp.where(
+            err > 0, err, jnp.where(active, step_err, 0)
+        ).astype(jnp.int32)
+
+        srcp = jnp.zeros((KP, Bt), jnp.int32)
+        for r in range(K):
+            _, acc = sel_rows[r]
+            enc = acc[5] + jnp.where(acc[4], np.int32(KP), 0)
+            srcp = jnp.where(slot == r, enc, srcp)
+        nhp1 = jnp.zeros((KP, Bt), jnp.int32)
+        nhp2 = jnp.zeros((KP, Bt), jnp.int32)
+        for r in range(K):
+            tm = srcp == r
+            fm = srcp == KP + r
+            nhp1 = jnp.where(tm, hp1[r : r + 1, :], nhp1)
+            nhp1 = jnp.where(fm, h1[r : r + 1, :], nhp1)
+            nhp2 = jnp.where(tm, hp2[r : r + 1, :], nhp2)
+            nhp2 = jnp.where(fm, h2[r : r + 1, :], nhp2)
+
+        actp = active & in_beam
+        h1_ref[:] = jnp.where(actp, nhp1, hp1)
+        h2_ref[:] = jnp.where(actp, nhp2, hp2)
+
+        for r in range(K):
+            slot_valid, acc = sel_rows[r]
+            g = lambda new, old: jnp.where(active, new, old)
+            rs = slice(r, r + 1)
             lab_ref[rs, :] = g(
                 jnp.where(slot_valid, acc[0] / top, 0.0), lab_ref[rs, :]
             )
@@ -658,8 +944,9 @@ def _beam_kernel2(
 # tools/ab_bench.py can bit-parity-check and time kernel variants against
 # the default.  (Round 5 tried an a-major candidate-plane variant — aligned
 # sublane concats instead of K-way selects for the expansion — and measured
-# it ~5% SLOWER than the k-major kernel at B=4096..32768; see PERF.md.)
-_KERNEL_VARIANTS = {1: _beam_kernel, 2: _beam_kernel2}
+# it ~5% SLOWER than the k-major kernel at B=4096..32768; see PERF.md.
+# v3 revisits a-major with pltpu.repeat tiles instead of concats.)
+_KERNEL_VARIANTS = {1: _beam_kernel, 2: _beam_kernel2, 3: _beam_kernel3}
 
 
 def _traceback_kernel(
