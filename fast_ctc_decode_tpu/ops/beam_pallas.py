@@ -309,7 +309,14 @@ def _beam_kernel(
         # max is +inf (key_of maps valid NaN candidates there); the
         # reference's ">= 2 candidates compared" condition <=> round 2
         # still had a candidate after round 1 took exactly one
-        # (src/search.rs:261-272 raises from the pairwise sort compare)
+        # (src/search.rs:261-272 raises from the pairwise sort compare).
+        # Deviation (measure-zero): a GENUINE +inf candidate (only
+        # reachable from +/-inf posterior inputs — probabilities cannot
+        # overflow) also maps the max to +inf, so such reads raise
+        # INCOMPARABLE_VALUES here one step before the scan engine /
+        # reference, which first turn inf into NaN via the renormalizing
+        # divide and raise at the next compare.  NaN inputs (the
+        # reference's tested semantics) raise on the identical step.
         empty_flag = ~sel_rows[0][0]
         if K == 1:
             two_plus = cnt >= 2
@@ -1385,30 +1392,28 @@ def _crf_beam_kernel(
             pushed.append(valid & ~(pla < thr))
         push_ext = pushed
 
+        # recv[jj]: sum the per-a masked planes FIRST (cheap elementwise),
+        # then one 8-row reduce per jj (was A reduces per jj); the "any
+        # arrival" bits ride ONE or-reduce of a target bitmask (was K*A
+        # reductions)
         recv_rows = []
-        recv_any_rows = []
+        tgt_bits = jnp.zeros((KP, Bt), jnp.int32)
         for jj in range(K):
-            acc = jnp.zeros((1, Bt), jnp.float32)
-            any_ = jnp.zeros((1, Bt), jnp.int32)
+            inner = jnp.zeros((KP, Bt), jnp.float32)
             for a in range(A):
                 sel = match[a][jj] & push_ext[a]
-                acc = acc + jnp.sum(
-                    jnp.where(sel, m_ext[a], 0.0), axis=0, keepdims=True
-                )
-                any_ = jnp.maximum(
-                    any_, jnp.max(jnp.where(sel, 1, 0), axis=0, keepdims=True)
-                )
-            recv_rows.append(acc)
-            recv_any_rows.append(any_)
+                inner = inner + jnp.where(sel, m_ext[a], 0.0)
+                tgt_bits = tgt_bits | jnp.where(sel, np.int32(1 << jj), 0)
+            recv_rows.append(jnp.sum(inner, axis=0, keepdims=True))
         pad = [jnp.zeros((1, Bt), jnp.float32)] * (KP - K)
         recv = jnp.concatenate(recv_rows + pad, axis=0)
+        got_bits = jnp.max(tgt_bits, axis=0, keepdims=True)
         recv_any = (
-            jnp.concatenate(
-                recv_any_rows + [jnp.zeros((1, Bt), jnp.int32)] * (KP - K),
-                axis=0,
+            jax.lax.shift_right_logical(
+                jnp.broadcast_to(got_bits, (KP, Bt)), slot
             )
-            != 0
-        )
+            & 1
+        ) != 0
 
         p0 = jnp.zeros((KP, Bt), jnp.float32)
         for k in range(K):
@@ -1419,13 +1424,6 @@ def _crf_beam_kernel(
         tip_lab = recv
         tip_gap = blank_gap
         tip_valid = blank_push | recv_any
-
-        new_state = [
-            ((state * np.int32(A)) % np.int32(S) + np.int32(a)).astype(
-                jnp.int32
-            )
-            for a in range(A)
-        ]
 
         def key_of(v, tot):
             return jnp.where(
@@ -1440,68 +1438,70 @@ def _crf_beam_kernel(
 
         fvs = [push_ext[a] & ~matched[a] & in_beam for a in range(A)]
         m_ext_v = [jnp.where(fvs[a], m_ext[a], 0.0) for a in range(A)]
-        fresh_lab = jnp.concatenate(m_ext_v, axis=0)  # (KP*A, Bt)
         c_key = catk(
             key_of(tip_valid, tip_tot),
             [key_of(fvs[a], m_ext_v[a]) for a in range(A)],
         )
         fresh_k_id = slot * np.int32(A)
         c_id = catk(idv, [base_id + fresh_k_id + np.int32(a) for a in range(A)])
-        fresh_h1 = jnp.concatenate(th1, axis=0)
-        fresh_h2 = jnp.concatenate(th2, axis=0)
-        fresh_st = jnp.concatenate(new_state, axis=0)
 
-        # per-region NaN flags — no concatenated tot plane needed
-        c_valid = c_key > NEG_INF
-        cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
-        nanv = jnp.max(
-            jnp.where(tip_valid & jnp.isnan(tip_tot), 1, 0),
-            axis=0, keepdims=True,
-        )
-        for a in range(A):
-            nanv = nanv | jnp.max(
-                jnp.where(fvs[a] & jnp.isnan(m_ext[a]), 1, 0),
-                axis=0, keepdims=True,
-            )
-        nan_flag = (cnt >= 2) & (nanv != 0)
-        empty_flag = cnt == 0
+        if K == 1:
+            c_valid = c_key > NEG_INF
+            cnt = jnp.sum(jnp.where(c_valid, 1, 0), axis=0, keepdims=True)
 
-        # id comes from the min-id pass and lastlab from the id's low bits
-        # (see the plain kernel); the CRF state stays a pick (a tip's id
-        # does not encode its slot).  Field picks split by region as in
-        # the plain kernel (fresh gap = 0, so gap reduces tips only).
+        # id comes from the min-id pass and lastlab from the id's low
+        # bits; a fresh winner's lab IS the max key (gap = 0); its
+        # hashes/state are reconstructed after the rounds from its source
+        # tip row (id arithmetic), so no fresh-region field planes or
+        # per-round h/state picks exist at all (see _beam_kernel2).
         sel_rows = []
         top = None
+        mx1 = None
         key = c_key
         for _ in range(K):
             mx = jnp.max(key, axis=0, keepdims=True)
+            if mx1 is None:
+                mx1 = mx
             slot_valid = mx > NEG_INF
             at = key == mx
             sid = jnp.min(jnp.where(at, c_id, _I32_MAX), axis=0, keepdims=True)
             chosen = at & (c_id == sid)
             ch_t = chosen[:KP]
-            ch_f = chosen[KP:]
 
             def pick_t(arr, z):
                 return jnp.sum(jnp.where(ch_t, arr, z), axis=0, keepdims=True)
 
-            def pick_f(arr, z):
-                return jnp.sum(jnp.where(ch_f, arr, z), axis=0, keepdims=True)
-
-            sel_lab = pick_t(tip_lab, 0.0) + pick_f(fresh_lab, 0.0)
-            sel_gap = pick_t(tip_gap, 0.0)
+            isf = sid >= base_id
+            sel_lab = jnp.where(isf, mx, pick_t(tip_lab, 0.0))
+            sel_gap = jnp.where(isf, 0.0, pick_t(tip_gap, 0.0))
+            # fresh source row k from the id; tip winner's own slot from
+            # one 8-row min over the chosen tip row.  Fresh candidate ids
+            # are base_id + k*A + a with k the SLOT (fresh_k_id), so the
+            # decode k = (sid - base_id) // A is the source row directly.
+            k_fresh = jax.lax.div(sid - base_id, np.int32(A))
+            jj_tip = jnp.min(
+                jnp.where(ch_t, slot, np.int32(KP)), axis=0, keepdims=True
+            )
+            src = jnp.where(isf, k_fresh, jj_tip)
             acc = [
                 sel_lab, sel_gap,
                 jnp.where(slot_valid, sid, -2),
-                pick_t(h1, 0) + pick_f(fresh_h1, 0),
-                pick_t(h2, 0) + pick_f(fresh_h2, 0),
                 jnp.where(sid < 0, -1, sid % np.int32(A)),
-                pick_t(state, 0) + pick_f(fresh_st, 0),
+                isf, src,
             ]
             if top is None:
                 top = sel_lab + sel_gap
             key = jnp.where(chosen, NEG_INF, key)
             sel_rows.append((slot_valid, acc))
+
+        # error flags from the rounds (same scheme + the same documented
+        # +/-inf-input deviation as _beam_kernel2)
+        empty_flag = ~sel_rows[0][0]
+        if K == 1:
+            two_plus = cnt >= 2
+        else:
+            two_plus = sel_rows[1][0]
+        nan_flag = (mx1 == POS_INF) & two_plus
 
         step_err = jnp.where(
             nan_flag,
@@ -1511,6 +1511,45 @@ def _crf_beam_kernel(
         er_ref[:] = jnp.where(
             err > 0, err, jnp.where(active, step_err, 0)
         ).astype(jnp.int32)
+
+        # ---- reconstruct the winners' hash/state planes once ----
+        srcl = jnp.zeros((KP, Bt), jnp.int32)
+        isfp = jnp.zeros((KP, Bt), bool)
+        nll = jnp.full((KP, Bt), -1, jnp.int32)
+        for r in range(K):
+            _, acc = sel_rows[r]
+            rm = slot == r
+            srcl = jnp.where(rm, acc[5], srcl)
+            isfp = isfp | (rm & acc[4])
+            nll = jnp.where(rm, acc[3], nll)
+        hsel1 = jnp.zeros((KP, Bt), jnp.int32)
+        hsel2 = jnp.zeros((KP, Bt), jnp.int32)
+        stsel = jnp.zeros((KP, Bt), jnp.int32)
+        for r in range(K):
+            sm = srcl == r
+            hsel1 = jnp.where(sm, h1[r : r + 1, :], hsel1)
+            hsel2 = jnp.where(sm, h2[r : r + 1, :], hsel2)
+            stsel = jnp.where(sm, state[r : r + 1, :], stsel)
+        nh1 = jnp.where(
+            isfp,
+            _mix_plane(hsel1, _mix_c_plane(nll, 0xC2B2AE35, 0x165667B1),
+                       0xC2B2AE35),
+            hsel1,
+        )
+        nh2 = jnp.where(
+            isfp,
+            _mix_plane(hsel2, _mix_c_plane(nll, 0x27D4EB2F, 0x9E3779B1),
+                       0x27D4EB2F),
+            hsel2,
+        )
+        nst = jnp.where(
+            isfp, (stsel * np.int32(A)) % np.int32(S) + nll, stsel
+        )
+
+        actp = active & in_beam
+        h1_ref[:] = jnp.where(actp, nh1, h1)
+        h2_ref[:] = jnp.where(actp, nh2, h2)
+        st_ref[:] = jnp.where(actp, nst, state)
 
         for r in range(K):
             slot_valid, acc = sel_rows[r]
@@ -1523,10 +1562,7 @@ def _crf_beam_kernel(
                 jnp.where(slot_valid, acc[1] / top, 0.0), gap_ref[rs, :]
             )
             id_ref[rs, :] = g(jnp.where(slot_valid, acc[2], -2), id_ref[rs, :])
-            h1_ref[rs, :] = g(acc[3], h1_ref[rs, :])
-            h2_ref[rs, :] = g(acc[4], h2_ref[rs, :])
-            ll_ref[rs, :] = g(acc[5], ll_ref[rs, :])
-            st_ref[rs, :] = g(acc[6], st_ref[rs, :])
+            ll_ref[rs, :] = g(acc[3], ll_ref[rs, :])
             va_ref[rs, :] = g(
                 jnp.where(slot_valid, 1, 0).astype(jnp.int32), va_ref[rs, :]
             )
@@ -1623,6 +1659,12 @@ def crf_beam_search_pallas_batch(
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ],
+        # the (TB, S2*8, Bt) probs block is the VMEM hog (S=64 pads to
+        # 512 rows); raise Mosaic's 16 MB scoped-vmem default so useful
+        # block sizes compile (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(thr, probs_t, init_t, lens_p)
 
