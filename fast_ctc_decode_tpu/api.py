@@ -162,14 +162,37 @@ def beam_search(
     elif engine == "exact":
         if max_nodes is None:
             max_nodes = beam_ops.default_max_nodes(T, beam_size, A1 - 1)
-        out = beam_ops.beam_search_device(
-            network_output,
-            np.int32(T),
-            np.float32(beam_cut_threshold),
-            beam_size=int(beam_size),
-            collapse_repeats=bool(collapse_repeats),
-            max_nodes=int(max_nodes),
-        )
+        out = None
+        import jax as _jax
+
+        from .ops import beam_exact_pallas as bxp_ops
+
+        if _jax.default_backend() == "tpu" and bxp_ops.exact_pallas_ok(
+            int(beam_size), A1 - 1
+        ):
+            # fused tree kernel (same bit-exact semantics, ~60x the XLA
+            # scan engine); node-budget overflow falls through to XLA
+            kn = min(int(max_nodes), bxp_ops.DEFAULT_KERNEL_NODES)
+            kout = bxp_ops.beam_search_exact_pallas_batch(
+                network_output[None],
+                np.full((1,), T, np.int32),
+                np.float32(beam_cut_threshold),
+                beam_size=int(beam_size),
+                collapse_repeats=bool(collapse_repeats),
+                max_nodes=kn,
+            )
+            kout = {k: np.asarray(v)[0] for k, v in kout.items()}
+            if int(kout["err"]) != errors.NODE_OVERFLOW:
+                out = kout
+        if out is None:
+            out = beam_ops.beam_search_device(
+                network_output,
+                np.int32(T),
+                np.float32(beam_cut_threshold),
+                beam_size=int(beam_size),
+                collapse_repeats=bool(collapse_repeats),
+                max_nodes=int(max_nodes),
+            )
     else:
         raise ValueError(f"unknown engine {engine!r}")
     return _beam_result_to_seq_path(

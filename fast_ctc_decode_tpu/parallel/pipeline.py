@@ -103,6 +103,34 @@ class BatchBeamDecoder:
                 collapse_repeats=self.collapse,
                 max_nodes=self.max_nodes,
             )
+            # bit-exact fused tree kernel (ops/beam_exact_pallas.py) on
+            # TPU when the beam fits its static entry space; reads that
+            # overflow its node budget re-run on the XLA engine below
+            # (whose budget is the true worst case)
+            from ..ops import beam_exact_pallas as bxp_ops
+
+            A = len(self.alphabet) - 1
+            if (
+                jax.default_backend() == "tpu"
+                and bxp_ops.exact_pallas_ok(self.beam_size, A)
+            ):
+                kn = min(self.max_nodes, bxp_ops.DEFAULT_KERNEL_NODES)
+                self._exact_kernel_fn = jax.jit(
+                    jax.shard_map(
+                        lambda p, l: bxp_ops.beam_search_exact_pallas_batch(
+                            p, l, self.threshold,
+                            beam_size=self.beam_size,
+                            collapse_repeats=self.collapse,
+                            max_nodes=kn,
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )
+                )
+            else:
+                self._exact_kernel_fn = None
         call = lambda p, l: kernel(p, l, self.threshold)
         if engine == "pallas":
             # a pallas_call does not partition under pjit — shard-map it so
@@ -128,6 +156,27 @@ class BatchBeamDecoder:
         (labels_rev, times_rev, count, err), sharded over the mesh."""
         probs = jnp.asarray(probs, jnp.float32)
         lengths = jnp.asarray(lengths, jnp.int32)
+        if self.engine == "exact" and getattr(self, "_exact_kernel_fn", None):
+            out = jax.device_get(self._exact_kernel_fn(probs, lengths))
+            out = {k: np.array(v) for k, v in out.items()}
+            bad = np.flatnonzero(out["err"] == errors.NODE_OVERFLOW)
+            if len(bad):
+                # pad the overflow subset to a full device batch and
+                # re-run on the XLA engine (true worst-case budget)
+                n_dev = len(self.mesh.devices.reshape(-1))
+                padded = np.concatenate(
+                    [bad, np.repeat(bad[-1:], (-len(bad)) % n_dev)]
+                )
+                sub = jax.device_get(
+                    self._fn(probs[padded], lengths[padded])
+                )
+                n = len(bad)
+                Tl = out["labels_rev"].shape[1]
+                out["labels_rev"][bad] = sub["labels_rev"][:n, :Tl]
+                out["times_rev"][bad] = sub["times_rev"][:n, :Tl]
+                out["count"][bad] = sub["count"][:n]
+                out["err"][bad] = sub["err"][:n]
+            return out
         return self._fn(probs, lengths)
 
     def decode(self, probs, lengths) -> List[Tuple[str, List[int], int]]:
