@@ -286,14 +286,38 @@ def crf_beam_search(
     elif engine == "exact":
         if max_nodes is None:
             max_nodes = beam_ops.default_max_nodes(T, beam_size, A)
-        out = crf_ops.crf_beam_search_device(
-            network_output,
-            init_state,
-            np.int32(T),
-            np.float32(beam_cut_threshold),
-            beam_size=int(beam_size),
-            max_nodes=int(max_nodes),
-        )
+        out = None
+        import jax as _jax
+
+        from .ops import beam_exact_pallas as bxp_ops
+
+        S = network_output.shape[1]
+        if (
+            _jax.default_backend() == "tpu"
+            and bxp_ops.exact_pallas_ok(int(beam_size), A)
+            and S <= 32768
+        ):
+            kn = min(int(max_nodes), bxp_ops.DEFAULT_KERNEL_NODES)
+            kout = bxp_ops.crf_beam_search_exact_pallas_batch(
+                network_output[None],
+                np.asarray(init_state, np.float32)[None],
+                np.full((1,), T, np.int32),
+                np.float32(beam_cut_threshold),
+                beam_size=int(beam_size),
+                max_nodes=kn,
+            )
+            kout = {k: np.asarray(v)[0] for k, v in kout.items()}
+            if int(kout["err"]) != errors.NODE_OVERFLOW:
+                out = kout
+        if out is None:
+            out = crf_ops.crf_beam_search_device(
+                network_output,
+                init_state,
+                np.int32(T),
+                np.float32(beam_cut_threshold),
+                beam_size=int(beam_size),
+                max_nodes=int(max_nodes),
+            )
     else:
         raise ValueError(f"unknown engine {engine!r}")
     return _beam_result_to_seq_path(

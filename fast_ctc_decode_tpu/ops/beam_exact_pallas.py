@@ -63,30 +63,32 @@ def _c11(x):
 
 
 def _exact_beam_kernel(
-    # inputs
-    scal_ref,  # SMEM (1, 1, 8) i32: [length, ...]
-    thr_ref,  # SMEM (1, 1) f32
-    ps_ref,  # SMEM (1, 1, T*A1P) f32 — flat posterior rows
-    # outputs
-    out_ref,  # VMEM (1, 2, TL) i32: [labels_rev|count|err], [times_rev]
-    # scratch
-    par_s,  # SMEM (N+1,) i32 (row N = dump)
-    lab_s,  # SMEM (N+1,) i32
-    tim_s,  # SMEM (N+1,) i32
-    child_s,  # SMEM ((N+2)*A,) i32 (row N+1 = dump)
-    bm_node,  # SMEM (8,) i32
-    bm_valid,  # SMEM (8,) i32
-    bm_gp,  # SMEM (8,) i32 — gap_prob > 0 bit per tip
-    misc,  # SMEM (8,) i32: [0]=n_nodes [1]=err
-    beamf_ref,  # VMEM (32, 8) f32 — lanes 0=lab 1=gap
-    *,
+    *refs,
     K: int,
     A: int,
+    S: int,
     T: int,
     N: int,
     TL: int,
     collapse: bool,
+    crf: bool,
 ):
+    """Shared kernel body; see the module docstring.
+
+    Plain refs:  scal, thr, ps(SMEM flat rows), out, <scratch>
+    CRF refs:    scal, thr, l1(VMEM [T*S, A1P] rows), init(SMEM [S]),
+                 out, <scratch>
+    Scratch: par/lab/tim/child SMEM tables, bm_node/valid/gp/state,
+    misc, beamf (VMEM (32, 8): lanes 0=lab 1=gap).
+    """
+    if crf:
+        (scal_ref, thr_ref, l1_ref, init_ref, out_ref,
+         par_s, lab_s, tim_s, child_s,
+         bm_node, bm_valid, bm_gp, bm_state, misc, beamf_ref) = refs
+    else:
+        (scal_ref, thr_ref, ps_ref, out_ref,
+         par_s, lab_s, tim_s, child_s,
+         bm_node, bm_valid, bm_gp, bm_state, misc, beamf_ref) = refs
     KA = K * A
     lane_out = jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
     sub_e = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
@@ -100,13 +102,27 @@ def _exact_beam_kernel(
     # ---- init: beam scalars + counters (tree tables need no init: a
     # child lookup is validated against parent/label, sound on garbage
     # because children are unique — see ops/duplex_exact_pallas.py) ----
+    if crf:
+        # beam init from init_state max/argmax (src/search.rs:54-59;
+        # first max wins ties, as jnp.argmax)
+        best = init_ref[0, 0, 0]
+        arg = jnp.int32(0)
+        for s in range(1, S):
+            v = init_ref[0, 0, s]
+            better = v > best
+            arg = jnp.where(better, s, arg)
+            best = jnp.where(better, v, best)
+        init_lab, init_gap = best, init_ref[0, 0, 0]
+    else:
+        init_lab, init_gap, arg = np.float32(0.0), np.float32(1.0), 0
     for k in range(K):
         bm_node[k] = jnp.int32(-1) if k == 0 else jnp.int32(-2)
         bm_valid[k] = jnp.int32(1 if k == 0 else 0)
         bm_gp[k] = jnp.int32(1 if k == 0 else 0)
+        bm_state[k] = jnp.where(k == 0, jnp.int32(arg), 0)
     row0_e = sub_e == 0
-    beamf_ref[:, 0:1] = jnp.zeros((32, 1), jnp.float32)  # lab
-    beamf_ref[:, 1:2] = jnp.where(row0_e, 1.0, 0.0)  # gap (root: 1)
+    beamf_ref[:, 0:1] = jnp.where(row0_e, init_lab, 0.0)  # lab
+    beamf_ref[:, 1:2] = jnp.where(row0_e, init_gap, 0.0)  # gap
     misc[0] = jnp.int32(0)  # n_nodes
     misc[1] = jnp.int32(errors.OK)
 
@@ -137,9 +153,33 @@ def _exact_beam_kernel(
         @pl.when((t < length) & (err == 0))
         def _do_step():
             n_nodes0 = misc[0]
-            base = t * np.int32(A1P)
-            p0_s = ps_ref[0, 0, base]
-            plab_s = [ps_ref[0, 0, base + np.int32(a + 1)] for a in range(A)]
+            if crf:
+                # per-tip probability rows probs[t, state_k, :] — scalar
+                # dynamic VMEM row reads (state is an SMEM scalar here,
+                # unlike the lanes=reads batch kernel's select tree)
+                prow = [
+                    l1_ref[
+                        0,
+                        pl.ds(
+                            t * np.int32(S)
+                            + jnp.clip(bm_state[k], 0, S - 1),
+                            1,
+                        ),
+                        :,
+                    ]
+                    for k in range(K)
+                ]
+                p0_k = [prow[k][0, 0] for k in range(K)]
+                plab_ka = [
+                    [prow[k][0, a + 1] for a in range(A)] for k in range(K)
+                ]
+            else:
+                base = t * np.int32(A1P)
+                p0_s = ps_ref[0, 0, base]
+                plab_s = [
+                    ps_ref[0, 0, base + np.int32(a + 1)] for a in range(A)
+                ]
+                plab_ka = [plab_s] * K
 
             tip_lbl = []
             for k in range(K):
@@ -157,8 +197,8 @@ def _exact_beam_kernel(
                 gp_k = bm_gp[k] != 0
                 for a in range(A):
                     idx = k * A + a
-                    pushed = vld_k & jnp.logical_not(plab_s[a] < thr)
-                    if collapse:
+                    pushed = vld_k & jnp.logical_not(plab_ka[k][a] < thr)
+                    if collapse and not crf:
                         is_rep_s = tip_lbl[k] == a
                         gate = jnp.logical_not(is_rep_s) | gp_k
                     else:
@@ -192,8 +232,27 @@ def _exact_beam_kernel(
             tiplbl8 = tips8_i(tip_lbl, fill=-9)
 
             plab_c = jnp.full((32, 1), NEG_INF)
-            for a in range(A):
-                plab_c = jnp.where(a_of_e == a, plab_s[a], plab_c)
+            if crf:
+                for k in range(K):
+                    for a in range(A):
+                        plab_c = jnp.where(
+                            (k_of_e == k) & (a_of_e == a),
+                            plab_ka[k][a],
+                            plab_c,
+                        )
+                st8 = tips8_i([bm_state[k] for k in range(K)])
+                stf_c = (
+                    (to_e(st8, 0) * np.int32(A)) % np.int32(S) + a_of_e
+                ).astype(jnp.int32)
+                p0_8 = jnp.zeros((32, 1), jnp.float32)
+                for k in range(K):
+                    p0_8 = jnp.where(sub_e == k, p0_k[k], p0_8)
+            else:
+                for a in range(A):
+                    plab_c = jnp.where(a_of_e == a, plab_s[a], plab_c)
+                st8 = jnp.zeros((32, 1), jnp.int32)
+                stf_c = jnp.zeros((32, 1), jnp.int32)
+                p0_8 = jnp.full((32, 1), p0_s)
             cid_c = jnp.full((32, 1), -1, jnp.int32)
             for idx in range(KA):
                 cid_c = jnp.where(sub_e == idx + 8, cand_id[idx], cid_c)
@@ -203,22 +262,23 @@ def _exact_beam_kernel(
             lg_c = to_e(lg8, 0.0)
             valid_c = to_e(valid8.astype(jnp.int32), 0) != 0
             pushed_c = valid_c & jnp.logical_not(plab_c < thr)
-            if collapse:
+            if collapse and not crf:
                 isrep_c = to_e(tiplbl8, -9) == a_of_e
             else:
                 isrep_c = jnp.zeros((32, 1), bool)
 
             # candidate masses (ops/beam.py:264): fork keeps only the gap
-            # field of a repeat, arrival takes lab+gap
+            # field of a repeat, arrival takes lab+gap (CRF: always lg,
+            # ops/crf.py m_arr)
             m_nid_c = jnp.where(isrep_c, gap_c, lg_c) * plab_c
             push_nid_c = pushed_c & (cid_c >= 0)
 
             # ---- analytic merge on the tips rows ----
-            push_b8 = valid8 & (p0_s > thr)
-            gap_tip8 = jnp.where(push_b8, lg8 * p0_s, 0.0)
+            push_b8 = valid8 & (p0_8 > thr)
+            gap_tip8 = jnp.where(push_b8, lg8 * p0_8, 0.0)
 
-            # stay: the tip's own-label mass (collapse only)
-            if collapse:
+            # stay: the tip's own-label mass (plain collapse only)
+            if collapse and not crf:
                 stay_plab8 = jnp.full((32, 1), NEG_INF)
                 for a in range(A):
                     stay_plab8 = jnp.where(
@@ -272,6 +332,7 @@ def _exact_beam_kernel(
             col_id = jnp.where(is_tip_e, node8, cid_c)
             col_l = jnp.where(is_tip_e, lab_tip8, m_nid_c)
             col_g = jnp.where(is_tip_e, gap_tip8, 0.0)
+            col_st = jnp.where(is_tip_e, st8, stf_c)
             total32 = col_l + col_g
             isn = jnp.isnan(total32)
             col_key = jnp.where(
@@ -294,6 +355,7 @@ def _exact_beam_kernel(
             # ---- top-K: (total desc, tie -> min node id) ----
             nb_node = jnp.full((32, 1), -2, jnp.int32)
             nb_valid = jnp.zeros((32, 1), jnp.int32)
+            nb_state = jnp.zeros((32, 1), jnp.int32)
             nb_lab = jnp.zeros((32, 1), jnp.float32)
             nb_gap = jnp.zeros((32, 1), jnp.float32)
             top = None
@@ -311,12 +373,19 @@ def _exact_beam_kernel(
                         jnp.where(chosen, colv, 0.0), axis=0, keepdims=True
                     )
 
+                def pick_i(colv):
+                    return jnp.sum(
+                        jnp.where(chosen, colv, 0), axis=0, keepdims=True
+                    )
+
                 if top is None:
                     top = pick_f(total32)
                 rowr = sub_e == r
                 sel_ok = rowr & okv
                 nb_node = jnp.where(sel_ok, sid, nb_node)
                 nb_valid = jnp.where(sel_ok, 1, nb_valid)
+                if crf:
+                    nb_state = jnp.where(sel_ok, pick_i(col_st), nb_state)
                 nb_lab = jnp.where(sel_ok, pick_f(col_l), nb_lab)
                 nb_gap = jnp.where(sel_ok, pick_f(col_g), nb_gap)
                 col_key = jnp.where(chosen, NEG_INF, col_key)
@@ -334,12 +403,14 @@ def _exact_beam_kernel(
                 ((nb_node + 2) & np.int32(0x7FFF))
                 | (nb_valid << np.int32(15))
                 | (gpbit << np.int32(16))
+                | (nb_state << np.int32(17))
             )
             for k in range(K):
                 pk = packed[k : k + 1, 0:1][0, 0]
                 bm_node[k] = (pk & np.int32(0x7FFF)) - 2
                 bm_valid[k] = jax.lax.shift_right_logical(pk, np.int32(15)) & 1
                 bm_gp[k] = jax.lax.shift_right_logical(pk, np.int32(16)) & 1
+                bm_state[k] = jax.lax.shift_right_logical(pk, np.int32(17))
 
             step_err = jnp.where(
                 ovf,
@@ -427,7 +498,8 @@ def beam_search_exact_pallas_batch(
 
     kernel = functools.partial(
         _exact_beam_kernel,
-        K=K, A=A, T=T, N=N, TL=TL, collapse=collapse_repeats,
+        K=K, A=A, S=1, T=T, N=N, TL=TL, collapse=collapse_repeats,
+        crf=False,
     )
     out = pl.pallas_call(
         kernel,
@@ -441,17 +513,7 @@ def beam_search_exact_pallas_batch(
         ],
         out_specs=pl.BlockSpec((1, 2, TL), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 2, TL), jnp.int32),
-        scratch_shapes=[
-            pltpu.SMEM((N + 1,), jnp.int32),
-            pltpu.SMEM((N + 1,), jnp.int32),
-            pltpu.SMEM((N + 1,), jnp.int32),
-            pltpu.SMEM(((N + 2) * A,), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
-            pltpu.VMEM((32, 8), jnp.float32),
-        ],
+        scratch_shapes=_scratch(N, A),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -460,6 +522,100 @@ def beam_search_exact_pallas_batch(
         scal.reshape(B, 1, 8),
         thr,
         probs_p.reshape(B, 1, T * A1P),
+    )
+    return {
+        "labels_rev": out[:, 0, :T],
+        "times_rev": out[:, 1, :T],
+        "count": out[:, 0, TL - 2],
+        "err": out[:, 0, TL - 1],
+    }
+
+
+def _scratch(N, A):
+    return [
+        pltpu.SMEM((N + 1,), jnp.int32),  # parent
+        pltpu.SMEM((N + 1,), jnp.int32),  # label
+        pltpu.SMEM((N + 1,), jnp.int32),  # time
+        pltpu.SMEM(((N + 2) * A,), jnp.int32),  # child table
+        pltpu.SMEM((8,), jnp.int32),  # bm_node
+        pltpu.SMEM((8,), jnp.int32),  # bm_valid
+        pltpu.SMEM((8,), jnp.int32),  # bm_gp
+        pltpu.SMEM((8,), jnp.int32),  # bm_state
+        pltpu.SMEM((8,), jnp.int32),  # misc
+        pltpu.VMEM((32, 8), jnp.float32),  # beamf
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_size", "max_nodes", "interpret"),
+)
+def crf_beam_search_exact_pallas_batch(
+    probs,  # [B, T, S, A+1] f32
+    init_states,  # [B, S] f32
+    lengths,  # [B] i32
+    beam_cut_threshold,
+    *,
+    beam_size: int,
+    max_nodes: int,
+    interpret: bool = False,
+):
+    """CRF variant (reference src/search.rs:38-157): same bit-exact tree
+    semantics as ops.crf.crf_beam_search_device, per-tip probability rows
+    fetched by scalar dynamic VMEM indexing.  Requires S <= 32768 on top
+    of the plain kernel's limits (state rides the packed beam word)."""
+    B, T, S, A1 = probs.shape
+    A = A1 - 1
+    K = beam_size
+    if K > 8 or K * A > 24:
+        raise ValueError(
+            "beam_exact_pallas supports beam_size <= 8, beam*labels <= 24"
+        )
+    if S > 32768:
+        raise ValueError("crf exact pallas supports <= 32768 states")
+    N = int(max_nodes)
+    if N > 32766:
+        raise ValueError("beam_exact_pallas supports max_nodes <= 32766")
+    TL = -(-(T + 2) // 128) * 128
+
+    f32 = jnp.float32
+    probs_p = jnp.pad(
+        jnp.asarray(probs, f32), ((0, 0), (0, 0), (0, 0), (0, A1P - A1))
+    )
+    scal = jnp.stack(
+        [jnp.asarray(lengths, jnp.int32)]
+        + [jnp.zeros((B,), jnp.int32)] * 7,
+        axis=1,
+    )
+    thr = jnp.asarray(beam_cut_threshold, f32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _exact_beam_kernel,
+        K=K, A=A, S=S, T=T, N=N, TL=TL, collapse=False, crf=True,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T * S, A1P), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 2, TL), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 2, TL), jnp.int32),
+        scratch_shapes=_scratch(N, A),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        scal.reshape(B, 1, 8),
+        thr,
+        probs_p.reshape(B, T * S, A1P),
+        jnp.asarray(init_states, f32).reshape(B, 1, S),
     )
     return {
         "labels_rev": out[:, 0, :T],

@@ -102,6 +102,42 @@ def test_overflow_flag():
     assert all(int(e) != 0 for e in o2["err"])
 
 
+def test_crf_random_parity():
+    from fast_ctc_decode_tpu.ops import crf as crf_ops
+
+    rng = np.random.RandomState(17)
+    for T, S in ((1, 4), (12, 16), (30, 8)):
+        B = 3
+        x = rng.rand(B, T, S, 5).astype(np.float32)
+        x /= x.sum(axis=-1, keepdims=True)
+        init = rng.rand(B, S).astype(np.float32)
+        init /= init.sum(axis=1, keepdims=True)
+        lens = rng.randint(1, T + 1, size=B).astype(np.int32)
+        N = beam_exact.default_max_nodes(T, 5, 4)
+        o2 = jax.device_get(
+            bxp.crf_beam_search_exact_pallas_batch(
+                x, init, lens, np.float32(0.0), beam_size=5,
+                max_nodes=min(N, bxp.NODE_CAP), interpret=INTERP,
+            )
+        )
+        for b in range(B):
+            o1 = jax.device_get(
+                crf_ops.crf_beam_search_device(
+                    x[b], init[b], np.int32(lens[b]), np.float32(0.0),
+                    beam_size=5, max_nodes=N,
+                )
+            )
+            c1, c2 = int(o1["count"]), int(o2["count"][b])
+            assert int(o1["err"]) == int(o2["err"][b]), (T, S, b)
+            assert c1 == c2, (T, S, b)
+            assert list(o1["labels_rev"][:c1]) == list(
+                o2["labels_rev"][b][:c2]
+            ), (T, S, b)
+            assert list(o1["times_rev"][:c1]) == list(
+                o2["times_rev"][b][:c2]
+            ), (T, S, b)
+
+
 def test_pipeline_overflow_fallback():
     """BatchBeamDecoder(engine='exact') must return complete results even
     when the fused kernel's node budget overflows (XLA re-run path).
