@@ -649,7 +649,9 @@ class BatchCrfBeamDecoder:
     contract).
 
     ``engine``: "pallas" (fused kernel, ops/beam_pallas.py — bit-identical
-    to "fast", much faster; interpreted off-TPU), "fast" (XLA scan), or
+    to "fast", much faster; interpreted off-TPU), "fast" (XLA scan),
+    "exact" (bit-exact path/tie parity — fused SMEM-tree kernel on TPU
+    with XLA overflow fallback, ops/beam_exact_pallas.py), or
     None (auto: pallas on TPU when the alphabet fits, else fast).
     """
 
@@ -679,7 +681,7 @@ class BatchCrfBeamDecoder:
                 and self.n_state <= 256
                 else "fast"
             )
-        if engine not in ("pallas", "fast"):
+        if engine not in ("pallas", "fast", "exact"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         if engine == "pallas":
@@ -700,6 +702,75 @@ class BatchCrfBeamDecoder:
                     check_vma=False,
                 )
             )
+        elif engine == "exact":
+            # bit-exact path/tie parity: fused SMEM-tree kernel on TPU
+            # (ops/beam_exact_pallas.py), XLA tree engine elsewhere and
+            # for node-budget overflows
+            from ..ops import beam as beam_xops
+            from ..ops import beam_exact_pallas as bxp_ops
+            from ..ops import crf as crf_xops
+
+            A = len(self.alphabet) - 1
+            self.max_nodes = beam_xops.default_max_nodes(
+                self.T, self.beam_size, A
+            )
+            xla = lambda p, s, l: jax.vmap(
+                lambda pp, ss, ll: crf_xops.crf_beam_search_device(
+                    pp, ss, ll, self.threshold,
+                    beam_size=self.beam_size, max_nodes=self.max_nodes,
+                )
+            )(p, s, l)
+            self._crf_exact_xla_fn = jax.jit(
+                xla,
+                in_shardings=(self._sharding,) * 3,
+                out_shardings=self._sharding,
+            )
+            if (
+                jax.default_backend() == "tpu"
+                and bxp_ops.exact_pallas_ok(self.beam_size, A)
+                and self.n_state <= 32768
+            ):
+                kn = min(self.max_nodes, bxp_ops.DEFAULT_KERNEL_NODES)
+                kfn = jax.jit(
+                    jax.shard_map(
+                        lambda p, s, l: bxp_ops.crf_beam_search_exact_pallas_batch(
+                            p, s, l, self.threshold,
+                            beam_size=self.beam_size, max_nodes=kn,
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS),) * 3,
+                        out_specs=P(DATA_AXIS),
+                        check_vma=False,
+                    )
+                )
+
+                def _fn(p, s, l):
+                    out = jax.device_get(kfn(p, s, l))
+                    out = {k: np.array(v) for k, v in out.items()}
+                    bad = np.flatnonzero(
+                        out["err"] == errors.NODE_OVERFLOW
+                    )
+                    if len(bad):
+                        n_dev = len(self.mesh.devices.reshape(-1))
+                        padded = np.concatenate(
+                            [bad, np.repeat(bad[-1:], (-len(bad)) % n_dev)]
+                        )
+                        sub = jax.device_get(
+                            self._crf_exact_xla_fn(
+                                p[padded], s[padded], l[padded]
+                            )
+                        )
+                        n = len(bad)
+                        Tl = out["labels_rev"].shape[1]
+                        out["labels_rev"][bad] = sub["labels_rev"][:n, :Tl]
+                        out["times_rev"][bad] = sub["times_rev"][:n, :Tl]
+                        out["count"][bad] = sub["count"][:n]
+                        out["err"][bad] = sub["err"][:n]
+                    return out
+
+                self._fn = _fn
+            else:
+                self._fn = self._crf_exact_xla_fn
         else:
             kernel = functools.partial(
                 beam_fast_ops.crf_beam_search_fast_batch,

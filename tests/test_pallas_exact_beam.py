@@ -138,6 +138,37 @@ def test_crf_random_parity():
             ), (T, S, b)
 
 
+def test_crf_batch_decoder_exact_engine():
+    """BatchCrfBeamDecoder(engine='exact') matches the single-read XLA
+    exact engine's sequences."""
+    from fast_ctc_decode_tpu.ops import crf as crf_ops
+    from fast_ctc_decode_tpu.parallel.pipeline import BatchCrfBeamDecoder
+
+    rng = np.random.RandomState(21)
+    B, T, S = 8, 14, 8  # multiple of the 8-device test mesh
+    x = rng.rand(B, T, S, 5).astype(np.float32)
+    x /= x.sum(axis=-1, keepdims=True)
+    init = rng.rand(B, S).astype(np.float32)
+    init /= init.sum(axis=1, keepdims=True)
+    lens = np.full(B, T, np.int32)
+    dec = BatchCrfBeamDecoder(
+        "NACGT", T=T, n_state=S, beam_size=5, engine="exact"
+    )
+    out = dec.decode(x, init, lens)
+    for b, (seq, path, err) in enumerate(out):
+        assert err == 0
+        o1 = jax.device_get(
+            crf_ops.crf_beam_search_device(
+                x[b], init[b], np.int32(T), np.float32(0.0),
+                beam_size=5,
+                max_nodes=beam_exact.default_max_nodes(T, 5, 4),
+            )
+        )
+        c = int(o1["count"])
+        want = "".join("ACGT"[l] for l in list(o1["labels_rev"][:c])[::-1])
+        assert seq == want, (b, seq, want)
+
+
 def test_pipeline_overflow_fallback():
     """BatchBeamDecoder(engine='exact') must return complete results even
     when the fused kernel's node budget overflows (XLA re-run path).
