@@ -142,6 +142,20 @@ def main():
         )
         print(f"1D beam pallas x{B}: {B / dt:>12,.0f} reads/s")
 
+        # bit-exact fused tree engine (ops/beam_exact_pallas.py)
+        from fast_ctc_decode_tpu.ops import beam_exact_pallas as bxp
+
+        Bx = min(B, 256)
+        dt = timeit_pipelined(
+            lambda: bxp.beam_search_exact_pallas_batch(
+                xs_d[:Bx], ln_d[:Bx], np.float32(0.1), beam_size=5,
+                max_nodes=bxp.DEFAULT_KERNEL_NODES,
+            ),
+            mat,
+            max(iters // 2, 1),
+        )
+        print(f"1D beam exact-pallas x{Bx}: {Bx / dt:>6,.0f} reads/s")
+
     if not full:
         return
 
@@ -172,6 +186,19 @@ def main():
             iters,
         )
         print(f"CRF beam pallas x{Bc} (S={S}): {Bc / dt:>10,.0f} reads/s")
+
+        from fast_ctc_decode_tpu.ops import beam_exact_pallas as bxp
+
+        Bxc = min(Bc, 64)
+        dt = timeit_pipelined(
+            lambda: bxp.crf_beam_search_exact_pallas_batch(
+                cpd[:Bxc], cid[:Bxc], cld[:Bxc], np.float32(0.0),
+                beam_size=5, max_nodes=bxp.DEFAULT_KERNEL_NODES,
+            ),
+            mat,
+            max(iters // 2, 1),
+        )
+        print(f"CRF beam exact-pallas x{Bxc} (S={S}): {Bxc / dt:>6,.0f} reads/s")
 
     # ---- banded duplex (PERF.md §4) ----
     from fast_ctc_decode_tpu import beam_search_duplex
