@@ -489,15 +489,21 @@ def _beam_kernel2(
         m_ext = jnp.where(is_rep_r, gap_e, expand_k(lg)) * plab_r
 
         # ---- matching via parent identity: (k, a) -> jj iff
-        # h[k] == hp[jj] and a == ll[jj] ----
+        # h[k] == hp[jj] and a == ll[jj].  The label term folds into the
+        # first hash compare by xoring label*C into both sides, and
+        # validity folds in by poisoning invalid tips' side: a false
+        # match then needs the folded h1 compare AND the full h2 compare
+        # to alias simultaneously — the same ~2^-64 budget as the
+        # original double-hash test, at half the compare ops.
+        LC = _u(0x61C88647)
+        e1 = h1e ^ (a_of_r * LC)
+        phl1 = hp1 ^ (lastlab * LC)
+        phl1 = jnp.where(valid, phl1, _u(0x5D5D5D5D))
         match = []
         matched = jnp.zeros((KAP, Bt), bool)
         for jj in range(K):
-            m = (
-                (h1e == hp1[jj : jj + 1, :])
-                & (h2e == hp2[jj : jj + 1, :])
-                & (a_of_r == lastlab[jj : jj + 1, :])
-                & valid[jj : jj + 1, :]
+            m = (e1 == phl1[jj : jj + 1, :]) & (
+                h2e == hp2[jj : jj + 1, :]
             )
             match.append(m)
             matched = matched | m
@@ -1137,7 +1143,7 @@ def beam_search_pallas_batch(
     beam_size: int,
     collapse_repeats: bool = True,
     block_t: int = 32,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: bool = False,
     raw: bool = False,
     version: int = 2,
@@ -1367,16 +1373,23 @@ def _crf_beam_kernel(
         pl_rows = [[prows[k][1 + a : 2 + a, :] for a in range(A)] for k in range(K)]
 
         # matching: extension (k, a) targets tip jj iff child hash matches
-        # (state equality is implied: the prefix determines the state)
+        # (state equality is implied: the prefix determines the state).
+        # The label term folds into the first hash compare (xor label*C
+        # into both sides) and validity poisons the tip side — a false
+        # match then needs both folded-h1 and full-h2 aliasing at once,
+        # the same ~2^-64 budget as the double-hash test (see
+        # _beam_kernel2's match).
+        LC = _u(0x61C88647)
+        phl1 = jnp.where(valid, h1 ^ (lastlab * LC), _u(0x5D5D5D5D))
+        th1f = [th1[a] ^ _u((a * int(np.uint32(0x61C88647))) & 0xFFFFFFFF)
+                for a in range(A)]
         match = [[None] * K for _ in range(A)]
         matched = [jnp.zeros((KP, Bt), bool) for _ in range(A)]
         for jj in range(K):
-            hj1 = h1[jj : jj + 1, :]
+            pj1 = phl1[jj : jj + 1, :]
             hj2 = h2[jj : jj + 1, :]
-            llj = lastlab[jj : jj + 1, :]
-            vj = valid[jj : jj + 1, :]
             for a in range(A):
-                m = (th1[a] == hj1) & (th2[a] == hj2) & (llj == a) & vj
+                m = (th1f[a] == pj1) & (th2[a] == hj2)
                 match[a][jj] = m
                 matched[a] = matched[a] | m
 
