@@ -298,13 +298,12 @@ def _exact_beam_kernel(
             hit8 = jnp.zeros((32, 1), jnp.int32)
             matched_c = jnp.zeros((32, 1), bool)
             for j in range(K):
-                n_j = bm_node[j]
-                sel = (
-                    push_nid_c
-                    & (cid_c == n_j)
-                    & (bm_valid[j] != 0)
-                    & jnp.logical_not(is_tip_e)
-                )
+                # invalid tips match nothing via a poisoned node id (-3
+                # never equals a candidate id >= 0 — exact, not a hash
+                # budget), and tip rows carry cid_c = -1 so push_nid_c
+                # already excludes them
+                n_j = jnp.where(bm_valid[j] != 0, bm_node[j], -3)
+                sel = push_nid_c & (cid_c == n_j)
                 row = sub_e == j
                 acc = jnp.sum(
                     jnp.where(sel, m_nid_c, 0.0), axis=0, keepdims=True
