@@ -67,7 +67,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import errors
 from .beam_fast import _traceback_scan_batch
-from .beam_pallas import _mix1_i32, _mix2_i32, _SEED1, _SEED2
+from .beam_pallas import (
+    _SEED1,
+    _SEED2,
+    _mix1_i32,
+    _mix2_i32,
+    _mix_c_plane,
+    _mix_plane,
+    _u,
+)
 
 _I32_MAX = np.iinfo(np.int32).max
 NEG = np.float32(-np.inf)
@@ -370,20 +378,24 @@ def _duplex_kernel(
         else:
             is_rep_r = jnp.zeros((KAP, Bt), bool)
         h1e, h2e = expand_k(h1v), expand_k(h2v)
-        th1 = jnp.zeros((KAP, Bt), jnp.int32)
-        th2 = jnp.zeros((KAP, Bt), jnp.int32)
-        for a in range(A):
-            th1 = jnp.where(a_of_r == a, _mix1_i32(h1e, a), th1)
-            th2 = jnp.where(a_of_r == a, _mix2_i32(h2e, a), th2)
+        # per-row mix-constant planes (bit-identical to the per-label
+        # where/mix sweep — ops/beam_pallas._mix_c_plane) and the
+        # label/validity terms folded into the first hash compare (same
+        # ~2^-64 false-match budget as the double-hash test — see
+        # beam_pallas._beam_kernel2's match)
+        th1 = _mix_plane(h1e, _mix_c_plane(a_of_r, 0xC2B2AE35, 0x165667B1),
+                         0xC2B2AE35)
+        th2 = _mix_plane(h2e, _mix_c_plane(a_of_r, 0x27D4EB2F, 0x9E3779B1),
+                         0x27D4EB2F)
+        LC = _u(0x61C88647)
+        th1f = th1 ^ (a_of_r * LC)
+        phl1 = jnp.where(valid, h1v ^ (llv * LC), _u(0x5D5D5D5D))
 
         match = []
         matched = jnp.zeros((KAP, Bt), bool)
         for jj in range(K):
-            m = (
-                (th1 == h1v[jj : jj + 1, :])
-                & (th2 == h2v[jj : jj + 1, :])
-                & (a_of_r == llv[jj : jj + 1, :])
-                & valid[jj : jj + 1, :]
+            m = (th1f == phl1[jj : jj + 1, :]) & (
+                th2 == h2v[jj : jj + 1, :]
             )
             match.append(m)
             matched = matched | m
