@@ -22,9 +22,11 @@ one fused kernel:
    TPU), with beam state persisting in scratch across T blocks and
    re-initialized at block 0.
 
-The traceback over the id log stays in XLA (ops/beam_fast.py's
-_traceback_positional) — it is O(T) tiny gathers per read and a fraction
-of the decode cost.
+The traceback over the id log is fused too (``_traceback_kernel``):
+the backward parent walk, key pack, and transpose run in one Pallas
+kernel over the beam kernel's own output layout, with a single packed
+XLA sort compacting the emits (``beam_fast._sort_unpack_keys``); the
+scan-based XLA walk remains as the wide-key fallback.
 """
 
 from __future__ import annotations
